@@ -1,0 +1,242 @@
+"""Tokenization & normalization — exact reimplementation of the reference
+document pipeline, Arrow-vectorized.
+
+Reference semantics (see SURVEY.md §2.2), from
+``simplir/src/SimplIR/Tokenise.hs:25-82`` and the canonical document
+pipeline ``simplir-tools/Search.hs:449-474`` (`normalizationPipeline`):
+
+1. Map every char in the punctuation kill-set to a space
+   (``Tokenise.hs:37-38``; note ``.`` and ``'`` are NOT killed).
+2. Split on Unicode whitespace, collapsing runs (``Tokenise.hs:46-82``
+   `tokeniseWithPositions` — equivalent to `str.split()`).
+3. ``doc_len_alnum`` = number of raw tokens containing >=1 alphanumeric
+   char, computed BEFORE term filtering (``Search.hs:458-460``).
+4. Per token: full Unicode case-fold, keep only alphabetic chars, keep
+   the result iff length > 2 (``Search.hs:466-470`` `normTerms`).
+
+The BM25/SimpleIndex path defines document length as the count of
+*normalized* terms (sum of tfs) — ``SimpleIndex.hs:94-98`` — which is the
+`doc_len` our index stores; `doc_len_alnum` is kept for the
+Search.hs/query-likelihood path.
+
+Vectorization strategy: within each Arrow batch, tokens are exploded and
+deduplicated with ``np.unique``; the exact per-token normalizer runs once
+per *unique* token (Zipf → tiny relative to token count) with a
+cross-batch memo cache, then results are scattered back — no per-row
+Spark-level Python, and exact Unicode semantics (``casefold``/``isalpha``
+match Haskell ``toCaseFold``/``isAlpha``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# simplir/src/SimplIR/Tokenise.hs:37-38 (duplicated Search.hs:471-474)
+KILL_CHARS = "\t\n\r;\"&/:!#?$%()@^*+-,=><[]{}|`~_"
+_KILL_TABLE = {ord(c): " " for c in KILL_CHARS}
+
+# --------------------------------------------------------------------------
+# Pure-Python reference implementation (oracle; also the per-unique-token
+# kernel of the vectorized UDF).
+# --------------------------------------------------------------------------
+
+
+def normalize_token(tok: str) -> str:
+    """casefold -> keep alphabetic chars -> '' if resulting len <= 2.
+
+    Port of `normTerms` (Search.hs:466-470): `T.filter isAlpha . T.toCaseFold`
+    then `filter ((>2) . T.length)`.
+    """
+    t = "".join(c for c in tok.casefold() if c.isalpha())
+    return t if len(t) > 2 else ""
+
+
+def token_has_alnum(tok: str) -> bool:
+    """Does the raw token contain >=1 alphanumeric char (Search.hs:458-460)."""
+    return any(c.isalnum() for c in tok)
+
+
+def tokenize_text(text: str) -> tuple[list[str], int]:
+    """Full document pipeline: returns (normalized terms, doc_len_alnum)."""
+    raw = text.translate(_KILL_TABLE).split()
+    dl_alnum = sum(1 for t in raw if token_has_alnum(t))
+    terms = [n for t in raw if (n := normalize_token(t))]
+    return terms, dl_alnum
+
+
+def tokenize_query(text: str) -> list[str]:
+    """Query-string tokenizer.
+
+    The reference's CLI query path (`tokenise`, Tokenise.hs:40-44) is
+    casefold -> keep latin1 letters -> whitespace split; terms that survive
+    but were filtered at index time simply match nothing.  We run the
+    document normalizer for symmetry — identical behavior for ASCII
+    queries, and guarantees query terms use the index's term space.
+    """
+    terms, _ = tokenize_text(text)
+    return terms
+
+
+# --------------------------------------------------------------------------
+# Vectorized kernels (shared by the pandas UDF and tests)
+# --------------------------------------------------------------------------
+
+_NORM_CACHE: dict[str, str] = {}
+_ALNUM_CACHE: dict[str, bool] = {}
+_CACHE_MAX = 1 << 20
+
+
+def _norm_unique(uniq: np.ndarray) -> np.ndarray:
+    out = np.empty(len(uniq), dtype=object)
+    cache = _NORM_CACHE
+    for i, tok in enumerate(uniq):
+        v = cache.get(tok)
+        if v is None:
+            v = normalize_token(tok)
+            if len(cache) < _CACHE_MAX:
+                cache[tok] = v
+        out[i] = v
+    return out
+
+
+def _alnum_unique(uniq: np.ndarray) -> np.ndarray:
+    out = np.empty(len(uniq), dtype=bool)
+    cache = _ALNUM_CACHE
+    for i, tok in enumerate(uniq):
+        v = cache.get(tok)
+        if v is None:
+            v = token_has_alnum(tok)
+            if len(cache) < _CACHE_MAX:
+                cache[tok] = v
+        out[i] = v
+    return out
+
+
+def tokenize_batch(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized tokenize over a batch of documents.
+
+    Returns a DataFrame with columns:
+      terms          list[str]  — normalized term sequence (dups kept)
+      doc_len        int32      — len(terms)  (SimpleIndex.hs:94-98)
+      doc_len_alnum  int32      — alnum raw-token count (Search.hs:458-460)
+    """
+    texts = texts.fillna("")
+    # kill punctuation + split: pandas str ops (cython loop over the batch)
+    raw = texts.str.translate(_KILL_TABLE).str.split()
+
+    n_docs = len(texts)
+    doc_ix_list: list[np.ndarray] = []
+    tok_arrays: list[np.ndarray] = []
+    lens = np.zeros(n_docs, dtype=np.int64)
+    for i, toks in enumerate(raw):
+        if toks:
+            lens[i] = len(toks)
+    total = int(lens.sum())
+    all_toks = np.empty(total, dtype=object)
+    doc_ix = np.repeat(np.arange(n_docs), lens)
+    pos = 0
+    for toks in raw:
+        if toks:
+            n = len(toks)
+            all_toks[pos : pos + n] = toks
+            pos += n
+    del doc_ix_list, tok_arrays
+
+    if total == 0:
+        return pd.DataFrame(
+            {
+                "terms": [[] for _ in range(n_docs)],
+                "doc_len": np.zeros(n_docs, dtype=np.int32),
+                "doc_len_alnum": np.zeros(n_docs, dtype=np.int32),
+            }
+        )
+
+    uniq, inv = np.unique(all_toks, return_inverse=True)
+    norm_u = _norm_unique(uniq)
+    alnum_u = _alnum_unique(uniq)
+
+    norm_all = norm_u[inv]
+    alnum_all = alnum_u[inv]
+
+    dl_alnum = np.bincount(doc_ix[alnum_all], minlength=n_docs).astype(np.int32)
+
+    keep = norm_all != ""
+    kept_docs = doc_ix[keep]
+    kept_terms = norm_all[keep]
+    doc_len = np.bincount(kept_docs, minlength=n_docs).astype(np.int32)
+
+    # split kept terms back into per-doc lists (kept order == original order)
+    bounds = np.cumsum(doc_len)[:-1]
+    term_lists = [list(a) for a in np.split(kept_terms, bounds)]
+
+    return pd.DataFrame(
+        {"terms": term_lists, "doc_len": doc_len, "doc_len_alnum": dl_alnum}
+    )
+
+
+TOKENIZE_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        T.StructField("doc_len", T.IntegerType(), False),
+        T.StructField("doc_len_alnum", T.IntegerType(), False),
+    ]
+)
+
+
+@F.pandas_udf(TOKENIZE_RESULT_TYPE)
+def tokenize_udf(texts: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized tokenizer: content -> struct(terms, doc_len, doc_len_alnum)."""
+    return tokenize_batch(texts)
+
+
+def with_tokens(df, text_col: str = "content"):
+    """Append terms/doc_len/doc_len_alnum columns to a corpus DataFrame."""
+    tok = tokenize_udf(F.col(text_col))
+    return (
+        df.withColumn("_tok", tok)
+        .withColumn("terms", F.col("_tok.terms"))
+        .withColumn("doc_len", F.col("_tok.doc_len"))
+        .withColumn("doc_len_alnum", F.col("_tok.doc_len_alnum"))
+        .drop("_tok")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document term frequencies, vectorized.
+# --------------------------------------------------------------------------
+
+TERM_TF_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.LongType(), False),
+        ]
+    )
+)
+
+
+def term_tfs_batch(term_lists: pd.Series) -> pd.Series:
+    """Per-doc (term, tf) pairs — `M.fromListWith (+)` (SimpleIndex.hs:94-96).
+
+    Pre-aggregating tf inside the Arrow batch means the downstream explode
+    emits one row per (doc, distinct term) instead of one per token
+    occurrence — a large shuffle reduction at scale.
+    Output pairs are term-sorted (np.unique), which also fixes the
+    float-summation order for score parity (SURVEY.md §4.4).
+    """
+    out = []
+    for terms in term_lists:
+        if terms is None or len(terms) == 0:
+            out.append([])
+            continue
+        u, c = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        out.append([(t, int(n)) for t, n in zip(u, c)])
+    return pd.Series(out)
+
+
+@F.pandas_udf(TERM_TF_TYPE)
+def term_tfs_udf(term_lists: pd.Series) -> pd.Series:
+    return term_tfs_batch(term_lists)

@@ -1,0 +1,129 @@
+"""Tokenizer parity tests — FIXTURES.md tokenizer cases.
+
+Hand-written edge cases exercising every rule of the reference pipeline
+(Tokenise.hs:25-82 + Search.hs:449-474), checked both against expected
+values and for vectorized-batch == pure-Python agreement.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from simplir_spark.functions.tokenize import (
+    KILL_CHARS,
+    tokenize_batch,
+    tokenize_text,
+)
+
+# (content, expected_terms, expected_doc_len_alnum)
+CASES = [
+    ("", [], 0),
+    ("   \t\n  ", [], 0),
+    ("hello world", ["hello", "world"], 2),
+    # kill-set chars become spaces (token separators)
+    ("foo;bar,baz", ["foo", "bar", "baz"], 3),
+    ("a+b=c", [], 3),  # 1-char tokens all filtered, but all alnum
+    ("x-y-z", [], 3),
+    # '.' and apostrophe are NOT in the kill set -> stay inside tokens,
+    # then get stripped by the alpha filter
+    ("foo.bar", ["foobar"], 1),
+    ("don't", ["dont"], 1),
+    # case folding
+    ("Hello WORLD MiXeD", ["hello", "world", "mixed"], 3),
+    # digits stripped by isAlpha filter but count for alnum doc_len
+    ("foo2 123 a1b2c3", ["foo", "abc"], 3),
+    ("x123456", [], 1),  # alpha residue "x" has len 1 -> dropped
+    # length > 2 filter (strict)
+    ("ab abc abcd a", ["abc", "abcd"], 4),
+    # doc_len_alnum counts pre-filter tokens with >=1 alnum
+    ("... --- ,,, foo", ["foo"], 1),  # "..." has no alnum ("---"/",,," killed)
+    ("a.b.c ..", ["abc"], 1),  # "a.b.c" -> alnum yes, residue "abc"; ".." no alnum
+    # unicode: sharp s casefolds to ss; accented letters are alphabetic
+    ("STRASSE straße", ["strasse", "strasse"], 2),
+    ("café CAFÉ", ["café", "café"], 2),
+    # greek (outside latin1, still letters)
+    ("αβγδ ΑΒΓΔ", ["αβγδ", "αβγδ"], 2),
+    # underscores are killed -> separators
+    ("snake_case_name", ["snake", "case", "name"], 3),
+    # mixed code-ish line
+    (
+        "def foo(bar, baz):\n    return bar+baz # comment",
+        ["def", "foo", "bar", "baz", "return", "bar", "baz", "comment"],
+        8,
+    ),
+    # tabs/newlines in kill set AND whitespace
+    ("one\ttwo\nthree\rfour", ["one", "two", "three", "four"], 4),
+    # >100 char token survives (no max-length rule in Search.hs variant)
+    ("x" * 150, ["x" * 150], 1),
+    # token that is only punctuation residue
+    ("'''' ....", [], 0),
+    # digits-only tokens: alnum yes, term no
+    ("42 4242 999999", [], 3),
+]
+
+
+@pytest.mark.parametrize("content,terms,dl_alnum", CASES)
+def test_pure_python_cases(content, terms, dl_alnum):
+    got_terms, got_dl = tokenize_text(content)
+    assert got_terms == terms
+    assert got_dl == dl_alnum
+
+
+def test_vectorized_matches_pure():
+    s = pd.Series([c for c, _, _ in CASES])
+    out = tokenize_batch(s)
+    for i, (content, terms, dl_alnum) in enumerate(CASES):
+        assert list(out["terms"].iloc[i]) == terms, content
+        assert int(out["doc_len_alnum"].iloc[i]) == dl_alnum, content
+        assert int(out["doc_len"].iloc[i]) == len(terms), content
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=60,
+        ),
+        max_size=20,
+    )
+)
+def test_vectorized_matches_pure_hypothesis(texts):
+    s = pd.Series(texts, dtype=object)
+    out = tokenize_batch(s)
+    for i, content in enumerate(texts):
+        terms, dl = tokenize_text(content)
+        assert list(out["terms"].iloc[i]) == terms
+        assert int(out["doc_len_alnum"].iloc[i]) == dl
+        assert int(out["doc_len"].iloc[i]) == len(terms)
+
+
+def test_kill_set_is_reference_literal():
+    # Tokenise.hs:37-38 string "\t\n\r;\"&/:!#?$%()@^*+-,=><[]{}|`~_`" with
+    # the duplicated backtick collapsed.
+    assert set(KILL_CHARS) == set("\t\n\r;\"&/:!#?$%()@^*+-,=><[]{}|`~_")
+
+
+def test_spark_udf_matches_pure(spark, corpus_small):
+    from pyspark.sql import functions as F
+
+    from simplir_spark.functions.tokenize import with_tokens
+
+    rows = (
+        with_tokens(corpus_small)
+        .select("doc_key", "content", "terms", "doc_len", "doc_len_alnum")
+        .orderBy("doc_key")
+        .limit(100)
+        .collect()
+    )
+    assert len(rows) == 100
+    for r in rows:
+        terms, dl = tokenize_text(r.content)
+        assert list(r.terms) == terms
+        assert r.doc_len == len(terms)
+        assert r.doc_len_alnum == dl
