@@ -1,0 +1,138 @@
+"""Query execution — scan mode (index-free, EP1) and indexed mode (EP2).
+
+Scan mode mirrors the reference's `simplir score` workflow
+(simplir-tools/Search.hs:244-314): all queries are evaluated in ONE corpus
+pass (`queriesFold = traverse queryFold queries`, Search.hs:262-264) —
+here a broadcast join of the (query_id, term) table against the per-doc
+term-frequency rows, followed by a grouped sum of per-term scores and a
+windowed top-k. Everything after the tokenizer UDF is Catalyst column
+expressions (whole-stage codegen).
+
+Shuffle shape at scale: the only wide exchange is groupBy(query_id,
+doc) over rows that survived the query-term semi-join — i.e. ~sum of the
+query terms' document frequencies, not the corpus. Query/term-stats sides
+are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simplir_spark.functions.scoring import (
+    B_DEFAULT,
+    K1_DEFAULT,
+    bm25_term_score,
+    ql_dirichlet_term_score,
+    tfidf_term_score,
+)
+from simplir_spark.functions.tokenize import with_tokens
+from simplir_spark.operators.stats import corpus_stats, doc_term_tfs, term_stats
+
+
+def queries_df(spark: SparkSession, queries: list[tuple[str, list[str]]]) -> DataFrame:
+    """(query_id, term) rows, per-query deduped (SimpleIndex.hs:142)."""
+    rows = [(qid, t) for qid, terms in queries for t in sorted(set(terms))]
+    return spark.createDataFrame(rows, "query_id string, term string")
+
+
+def topk_ranked(scored: DataFrame, k: int, doc_col: str = "doc_key") -> DataFrame:
+    """Deterministic top-k per query: rank by (-score, doc_key).
+
+    The Spark analog of the streaming top-k fold (TopK.hs:36-70) — Catalyst
+    executes the window + filter as partial per-partition top-k; ordering
+    ties are broken by doc identity (SURVEY.md §4.4 rank-identity rule).
+    """
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(doc_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_scan(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    model: str = "bm25",
+    mu: float = 1000.0,
+) -> DataFrame:
+    """Index-free scoring of all queries in one pass over the corpus.
+
+    Returns (query_id, doc_key, rank, score). ``model`` ∈ {bm25, tfidf,
+    ql_dirichlet}.
+    """
+    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len", "doc_len_alnum")
+    pairs = doc_term_tfs(tokenized)  # (doc_key, doc_len, term, tf)
+
+    cs = corpus_stats(tokenized).collect()[0]
+    doc_count, token_count = cs.doc_count, cs.token_count
+    avg_doc_len = token_count / doc_count if doc_count else 1.0
+
+    qdf = queries_df(spark, queries)
+    # query-side term multiplicity (qtf) — only the QL model uses it
+    # (QueryLikelihood.hs:46-48: score^qtf); BM25 ignores query tf.
+    qtf_rows = [
+        (qid, t, sum(1 for x in terms if x == t))
+        for qid, terms in queries
+        for t in sorted(set(terms))
+    ]
+    qdf_qtf = spark.createDataFrame(qtf_rows, "query_id string, term string, qtf long")
+    # stats only for query terms — the analog of the reference's upfront
+    # background-stats memoization (Search.hs:253-260); filtering pairs by
+    # term first leaves cf/df values identical to the full aggregation.
+    ts = term_stats(pairs.join(F.broadcast(qdf.select("term").distinct()), "term")).cache()
+
+    matched = (
+        pairs.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(ts), "term")
+    )
+    if model == "bm25":
+        term_score = bm25_term_score(
+            F.col("tf"), F.col("doc_len"), F.col("df"), doc_count, avg_doc_len, k1, b
+        )
+        scored = (
+            matched.withColumn("term_score", term_score)
+            .groupBy("query_id", "doc_key")
+            .agg(F.sum("term_score").alias("score"))
+        )
+    elif model == "tfidf":
+        term_score = tfidf_term_score(F.col("tf"), F.col("df"), doc_count)
+        scored = (
+            matched.withColumn("term_score", term_score)
+            .groupBy("query_id", "doc_key")
+            .agg(F.sum("term_score").alias("score"))
+        )
+    elif model == "ql_dirichlet":
+        # log-domain sum over ALL query terms (absent terms contribute the
+        # background probability); docs qualify via the match-any union.
+        # Implemented as: matched docs per query, cross with the query's
+        # terms, left join tf.
+        bg = F.col("cf").cast("double") / F.lit(float(token_count))
+        q_with_stats = qdf_qtf.join(F.broadcast(ts), "term", "left").fillna(
+            {"df": 0, "cf": 0}
+        )
+        match_docs = (
+            pairs.join(F.broadcast(qdf), "term")
+            .select("query_id", "doc_key", "doc_len")
+            .distinct()
+        )
+        expanded = match_docs.join(F.broadcast(q_with_stats), "query_id").join(
+            pairs.select("doc_key", "term", "tf"), ["doc_key", "term"], "left"
+        ).fillna({"tf": 0})
+        scored = (
+            expanded.withColumn(
+                "term_score",
+                F.col("qtf").cast("double")
+                * ql_dirichlet_term_score(F.col("tf"), F.col("doc_len"), bg, mu),
+            )
+            .groupBy("query_id", "doc_key")
+            .agg(F.sum("term_score").alias("score"))
+        )
+    else:
+        raise ValueError(f"unknown model {model}")
+
+    return topk_ranked(scored, k).select("query_id", "doc_key", "rank", "score")

@@ -122,6 +122,9 @@ def ql_dirichlet_score_all(
         s = 0.0
         for t in query_terms:  # query-side multiplicity counts (qtf exponent)
             p_bg = idx.cf.get(t, 0) / idx.token_count
-            s += math.log((tfs.get(t, 0) + mu * p_bg) / (idx.doc_lens[i] + mu))
+            num = tfs.get(t, 0) + mu * p_bg
+            # a term absent from both doc and corpus: probability 0 ->
+            # Log Double 0, i.e. -inf in log space
+            s += math.log(num / (idx.doc_lens[i] + mu)) if num > 0 else float("-inf")
         out.append((s, idx.doc_keys[i]))
     return out
