@@ -1,0 +1,187 @@
+"""Indexed BM25 top-k (EP2: SimpleIndex.score, SURVEY.md §3) with
+block-max pruning.
+
+Plan shape:
+  postings table — parquet scan with ``term IN (query terms)`` pushed down
+  (the Spark analog of the reference's term->offset index lookup,
+  TermIndex.hs:26-34) → broadcast join with the (query_id, term) table →
+  ``groupBy(query_id).applyInPandas`` numpy scorer → top-k → broadcast
+  join against docmeta for doc_key resolution.
+
+The scorer is document-at-a-time over decoded runs (collectPostings'
+k-way union, Posting2/Collect.hs:53-82, vectorized) with an exact
+block-max skip rule in the spirit of Block-Max WAND [Ding & Suel 2011]
+and the reference's lazily-thresholded top-k fold (TopK.hs:36-70):
+
+  * terms processed in descending score upper bound;
+  * a run is decoded only if (a) undiscovered docs could still reach the
+    current kth score via the remaining terms' upper bounds, or (b) the
+    run's did range contains a *live* candidate (current score + remaining
+    potential >= threshold).
+
+Skipping is score-preserving for the returned top-k: any doc in the final
+top-k is live at every step (its partial score + remaining potential
+bounds its final score from above), so all its runs are decoded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplir_spark.functions import codec
+from simplir_spark.functions.scoring import B_DEFAULT, K1_DEFAULT
+from simplir_spark.operators.index_build import IndexHandle
+from simplir_spark.operators.query import queries_df
+
+
+def _bm25_contrib(tfs: np.ndarray, dls: np.ndarray, idf: float,
+                  avg_doc_len: float, k1: float, b: float) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    denom = tf + k1 * (1.0 - b + b * dls.astype(np.float64) / avg_doc_len)
+    return idf * tf * (k1 + 1.0) / denom
+
+
+def score_query_runs(
+    runs: pd.DataFrame,
+    doc_count: int,
+    avg_doc_len: float,
+    k: int,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    decode_counter: list | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score one query's posting runs; returns (top dids, top scores).
+
+    ``runs`` columns: term, start_did, end_did, n, max_tf, deltas, tfs, dls
+    plus per-term ``df``.  ``decode_counter`` (tests) receives
+    [decoded_runs, total_runs].
+    """
+    if len(runs) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+
+    # per-term idf and upper bound (tf=max_tf, dl->0 maximizes the kernel)
+    terms = runs["term"].to_numpy()
+    uniq_terms = pd.unique(runs["term"])
+    idf_by_term = {}
+    ub_by_term = {}
+    for t in uniq_terms:
+        m = terms == t
+        df_t = int(runs.loc[m, "df"].iloc[0])
+        idf = float(np.log(1.0 + (doc_count - df_t + 0.5) / (df_t + 0.5)))
+        idf_by_term[t] = idf
+        max_tf = float(runs.loc[m, "max_tf"].max())
+        ub_by_term[t] = idf * max_tf * (k1 + 1.0) / (max_tf + k1 * (1.0 - b))
+
+    order = sorted(uniq_terms, key=lambda t: -ub_by_term[t])
+    rest_after = {}
+    acc = 0.0
+    for t in reversed(order):
+        acc += ub_by_term[t]
+        rest_after[t] = acc  # ub of t + all later terms
+
+    cand_dids = np.zeros(0, dtype=np.int64)
+    cand_scores = np.zeros(0)
+    decoded = 0
+    total = len(runs)
+
+    for t in order:
+        rest = rest_after[t]
+        if len(cand_scores) >= k:
+            theta = np.partition(cand_scores, -k)[-k]
+        else:
+            theta = -np.inf
+        trun = runs[terms == t].sort_values("start_did")
+        idf = idf_by_term[t]
+
+        if theta < rest:
+            decode_mask = np.ones(len(trun), dtype=bool)
+        else:
+            # only runs overlapping live candidates matter
+            live = cand_dids[cand_scores + rest >= theta]
+            starts = trun["start_did"].to_numpy(dtype=np.int64)
+            ends = trun["end_did"].to_numpy(dtype=np.int64)
+            if len(live) == 0:
+                decode_mask = np.zeros(len(trun), dtype=bool)
+            else:
+                lo = np.searchsorted(live, starts, side="left")
+                hi = np.searchsorted(live, ends, side="right")
+                decode_mask = hi > lo
+
+        new_dids = []
+        new_contribs = []
+        for row, dec in zip(trun.itertuples(index=False), decode_mask):
+            if not dec:
+                continue
+            decoded += 1
+            dids, tfs, dls = codec.decode_run(row.start_did, row.n, row.deltas, row.tfs, row.dls)
+            new_dids.append(dids)
+            new_contribs.append(_bm25_contrib(tfs, dls, idf, avg_doc_len, k1, b))
+        if new_dids:
+            nd = np.concatenate(new_dids)
+            nc = np.concatenate(new_contribs)
+            all_dids = np.concatenate([cand_dids, nd])
+            all_scores = np.concatenate([cand_scores, nc])
+            cand_dids, inv = np.unique(all_dids, return_inverse=True)
+            cand_scores = np.bincount(inv, weights=all_scores)
+
+    if decode_counter is not None:
+        decode_counter[:] = [decoded, total]
+
+    if len(cand_dids) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    sel = np.lexsort((cand_dids, -cand_scores))[:k]
+    return cand_dids[sel], cand_scores[sel]
+
+
+def bm25_indexed(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """All queries against the index in one job.
+
+    Returns (query_id, doc_key, rank, score).  Rank ties break by did,
+    which by construction equals doc_key order (dense ids are assigned in
+    doc_key order — index_build.assign_doc_ids).
+    """
+    qdf = queries_df(spark, queries)
+    doc_count, avg_doc_len = index.doc_count, index.avg_doc_len
+
+    q_terms = sorted({t for _, terms in queries for t in terms})
+    post = index.postings.filter(F.col("term").isin(q_terms))  # parquet pushdown
+    matched = (
+        post.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(index.term_stats.filter(F.col("term").isin(q_terms))), "term")
+        .select(
+            "query_id", "term", "df", "start_did", "end_did", "n",
+            "max_tf", "deltas", "tfs", "dls",
+        )
+    )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        dids, scores = score_query_runs(pdf, doc_count, avg_doc_len, k, k1, b)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "did": dids,
+                "rank": np.arange(1, len(dids) + 1, dtype=np.int32),
+                "score": scores,
+            }
+        )
+
+    topk = matched.groupBy("query_id").applyInPandas(
+        score_group, "query_id string, did long, rank int, score double"
+    )
+    # resolve doc_key: the top-k side is tiny -> broadcast it
+    return (
+        index.docmeta.select("did", "doc_key")
+        .join(F.broadcast(topk), "did")
+        .select("query_id", "doc_key", "rank", "score")
+    )
