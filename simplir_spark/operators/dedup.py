@@ -1,0 +1,203 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's feature set (simplir has no dedup), these are the
+operations a training-data pipeline needs at 10^12-file scale; each is
+designed around one bounded shuffle:
+
+ * exact_duplicates      — hash groupBy (md5 of content)
+ * ngram_shingles        — token n-gram shingle sets (JVM-side transform)
+ * ngram_jaccard_pairs   — shingle-join candidate pairs + exact Jaccard
+ * minhash_signatures    — k independent min-hashes over shingles
+ * minhash_lsh_pairs     — banded LSH bucketing -> candidate pairs
+ * simhash64             — 60-bit simhash fingerprint per doc
+ * simhash_near_pairs    — Hamming-distance candidate pairs via band keys
+
+Hashes are md5-derived (first 15 hex chars -> 60-bit int) so a DuckDB
+oracle can reproduce them exactly; at production scale you'd swap in
+xxhash via a pandas UDF, the plumbing is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit md5 prefix as a non-negative long (fits signed 64-bit; DuckDB twin:
+# ('0x' || substr(md5(x), 1, 15))::BIGINT)
+def _md5_60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """(id, canonical_id, group_size) — canonical = min id per content hash.
+
+    Scale: the window partitions by the content hash; equivalent to a
+    groupBy + self-broadcast, one shuffle on the hash.
+    """
+    w = Window.partitionBy(F.md5(F.col(content_col)))
+    return docs.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+def ngram_shingles(tokenized: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Distinct token n-gram shingles per doc: (id, shingle).
+
+    Built from the normalized `terms` array entirely JVM-side
+    (transform+sequence), no Python.
+    """
+    sh = F.expr(
+        f"transform(sequence(0, greatest(size(terms) - {n}, -1)),"
+        f" i -> concat_ws(' ', slice(terms, i + 1, {n})))"
+    )
+    return (
+        tokenized.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, threshold: float = 0.8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (id_a < id_b, jaccard >= threshold).
+
+    Shuffle shape: self-join on shingle (candidate generation) then a
+    groupBy on the pair.  At extreme scale run minhash_lsh_pairs first and
+    feed only candidate pairs here.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, h, minhash): k salted-md5 min-hashes per doc.
+
+    One groupBy(id, h) over shingles x k rows; the per-hash min is a
+    partial aggregate (map-side combine).
+    """
+    hs = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
+    salted = shingles.select(F.col(id_col), hs, "shingle").withColumn(
+        "hv", _md5_60(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle")))
+    )
+    return salted.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band bucket.
+
+    Bands of rows_per_band consecutive hash slots are concatenated and
+    hashed to a bucket; docs sharing (band, bucket) become candidates —
+    the classic shingle->minhash->band->bucket-join pipeline.
+    """
+    banded = signatures.withColumn("band", F.col("h") % n_bands)
+    buckets = (
+        banded.groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash64(tokenized: DataFrame, id_col: str = "doc_id", n_bits: int = 60) -> DataFrame:
+    """(id, simhash) — tf-weighted sign sum over md5 bits of each term.
+
+    JVM-side: explode per-doc (term, tf) pairs, one row per (doc, term),
+    cross the n_bits bit positions with a sequence transform, aggregate
+    sign sums per bit, then fold bits back into one long.
+    """
+    from simplir_spark.functions.tokenize import term_tfs_udf
+
+    pairs = tokenized.select(
+        F.col(id_col), F.explode(term_tfs_udf("terms")).alias("tt")
+    ).select(id_col, F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
+    pairs = pairs.withColumn("hv", _md5_60(F.col("term")))
+    bits = pairs.select(
+        id_col,
+        "tf",
+        "hv",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b"),
+    ).withColumn(
+        "contrib",
+        F.col("tf") * (F.shiftright(F.col("hv"), F.col("b").cast("int")).bitwiseAND(F.lit(1)) * 2 - 1),
+    )
+    per_bit = bits.groupBy(id_col, "b").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b").cast("int"))).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    simhashes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", n_bits: int = 60, n_bands: int = 4
+) -> DataFrame:
+    """Pairs with Hamming distance <= max_hamming.
+
+    Candidate generation: split the fingerprint into n_bands bit-bands;
+    by pigeonhole any pair within max_hamming < n_bands shares one exact
+    band — equi-join per band, then exact popcount filter.
+    """
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    banded = None
+    for band in range(n_bands):
+        part = simhashes.select(
+            F.col(id_col),
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("simhash"), band * width).bitwiseAND(F.lit(mask)).alias("key"),
+            F.col("simhash"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key", F.col("simhash").alias("sh_a"))
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key", F.col("simhash").alias("sh_b"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -248,8 +248,9 @@ def build_index(
         with_ids, cuts = assign_doc_ids(tok)
         with open(os.path.join(out_dir, "_bucket_cuts.json"), "w") as f:
             json.dump(cuts, f)
+        optional = [c for c in ("repo", "path", "commit", "lang") if c in with_ids.columns]
         return with_ids.select(
-            "did", "doc_key", "repo", "path", "commit", "lang",
+            "did", "doc_key", *optional,
             "doc_len", "doc_len_alnum", "sha256", "terms",
         ).repartitionByRange(n_partitions or 8, "did")
 

@@ -59,11 +59,14 @@ def bm25_scan(
     b: float = B_DEFAULT,
     model: str = "bm25",
     mu: float = 1000.0,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Index-free scoring of all queries in one pass over the corpus.
 
     Returns (query_id, doc_key, rank, score). ``model`` ∈ {bm25, tfidf,
-    ql_dirichlet}.
+    ql_dirichlet}.  ``round_dp`` rounds scores BEFORE ranking so that
+    near-ties (float summation-order noise) rank deterministically across
+    engines — used by the DuckDB-oracle driver contract.
     """
     tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len", "doc_len_alnum")
     pairs = doc_term_tfs(tokenized)  # (doc_key, doc_len, term, tf)
@@ -135,4 +138,6 @@ def bm25_scan(
     else:
         raise ValueError(f"unknown model {model}")
 
+    if round_dp is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_dp))
     return topk_ranked(scored, k).select("query_id", "doc_key", "rank", "score")
