@@ -127,6 +127,128 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs, id_col="doc_id")
 
 
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = with_tokens(_corpus(spark, sf_dir))
+    return tok.withColumnRenamed("doc_key", "doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.operators.dedup import ngram_jaccard_pairs, ngram_shingles
+
+    sh = ngram_shingles(_tokenized_docs(spark, sf_dir), n=3)
+    return ngram_jaccard_pairs(sh, threshold=0.5)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_shingles,
+    )
+
+    sh = ngram_shingles(_tokenized_docs(spark, sf_dir), n=3)
+    return minhash_lsh_pairs(minhash_signatures(sh, n_hashes=16), n_bands=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.operators.dedup import simhash64
+
+    return simhash64(_tokenized_docs(spark, sf_dir))
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.functions.text import text_quality
+
+    return text_quality(_tokenized_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.functions.text import doc_fingerprint
+
+    return doc_fingerprint(_tokenized_docs(spark, sf_dir))
+
+
+def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP of the BM25 run against deterministic qrels (doc relevant to q
+    iff it contains every query term) — exercises the evaluation module
+    (simplir-eval port) end-to-end with a SQL oracle."""
+    from simplir_spark.operators.evaluation import mean_average_precision
+    from simplir_spark.operators.query import queries_df
+
+    tok = _tokenized_docs(spark, sf_dir)
+    pairs = doc_term_tfs(tok, doc_cols=["doc_id"])
+    qdf = queries_df(spark, QUERIES)
+    nq = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
+    qrels = (
+        pairs.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(nq), "query_id")
+        .filter(F.col("n_hit") == F.col("n_q"))
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("doc_id").cast("string").alias("doc"),
+            F.lit(1).alias("relevance"),
+        )
+    )
+    run = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP).select(
+        F.col("query_id").alias("qid"), F.col("doc_key").cast("string").alias("doc"), "rank"
+    )
+    m = mean_average_precision(run, qrels)
+    return m.select(F.round("map", DP).alias("map"), "n_queries")
+
+
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (Structured-Streaming-shaped plan
+    run on the static events table)."""
+    from simplir_spark.streaming.ingest import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, window="5 minutes")
+    return out.select(
+        "win_start", "win_end", "event_type", "n", F.round("sum_value", DP).alias("sum_value")
+    )
+
+
+def q_rm1_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM1 pseudo-relevance-feedback expansion terms from the BM25 top-10."""
+    from simplir_spark.operators.feedback import rm1_expansion_terms
+
+    run = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP).select(
+        "query_id", "doc_key", "score"
+    )
+    pairs = doc_term_tfs(_tokenized_docs(spark, sf_dir), doc_cols=["doc_id"]).withColumnRenamed(
+        "doc_id", "doc_key"
+    )
+    return rm1_expansion_terms(run, pairs, n_terms=5, round_dp=DP)
+
+
+# QueryNode-DSL tree (EP3, Query.hs:162-290): 2·bm25(join,hash) + tfidf(merge) + 0.1
+DSL_TREE = {
+    "type": "sum",
+    "children": [
+        {"type": "scale", "factor": 2.0,
+         "child": {"type": "retrieve", "model": "bm25", "terms": ["join", "hash"]}},
+        {"type": "retrieve", "model": "tfidf", "terms": ["merge"]},
+        {"type": "const", "value": 0.1},
+    ],
+}
+
+
+def q_query_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.plans.query_dsl import compile_query
+
+    res = compile_query(spark, _corpus(spark, sf_dir), DSL_TREE, k=K, round_dp=DP)
+    return res.withColumnRenamed("doc_key", "doc_id")
+
+
 def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = with_tokens(_corpus(spark, sf_dir))
     bucket = F.least(F.floor(F.col("doc_len") / 10), F.lit(20)).cast("long")
@@ -150,8 +272,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "ql_dirichlet_topk": q_ql_dirichlet_topk,
         "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
         "doclen_histogram": q_doclen_histogram,
         "trec_run": q_trec_run,
+        "map_eval": q_map_eval,
+        "windowed_events": q_windowed_events,
+        "rm1_expansion": q_rm1_expansion,
+        "query_dsl": q_query_dsl,
     }
 
 
@@ -314,11 +446,220 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     """
 
+    # shingle CTE: normalized-token 3-grams, distinct per doc (order-preserving
+    # list ops; generate_series(1, n) is empty for n < 1)
+    shingle_cte = """
+    tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 2) AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM tk, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+    )
+    """
+
+    sql["ngram_jaccard"] = f"""
+    WITH {shingle_cte},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, c.n_common,
+           round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) >= 0.5
+    """
+
+    sql["minhash_lsh"] = f"""
+    WITH {shingle_cte},
+    mh AS (
+      SELECT doc_id, g.h,
+             min(('0x' || substr(md5(CAST(g.h AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS minhash
+      FROM sh, unnest(generate_series(0, 15)) AS g(h)
+      GROUP BY doc_id, g.h
+    ),
+    buckets AS (
+      SELECT doc_id, h % 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash)) AS bucket
+      FROM mh GROUP BY doc_id, h % 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+    sql["simhash"] = f"""
+    WITH {_TOK},
+    bits AS (
+      SELECT doc_id, g.b,
+        sum(tf * (2 * ((('0x' || substr(md5(term), 1, 15))::BIGINT >> g.b) & 1) - 1)) AS s
+      FROM tf, unnest(generate_series(0, 59)) AS g(b)
+      GROUP BY doc_id, g.b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """
+
+    sql["embedding_cosine_topk"] = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS cos
+      FROM q JOIN n ON n.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+             cos
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+    """
+
+    from simplir_spark.functions.text import STOPWORDS_EN
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    sql["text_quality"] = f"""
+    WITH {_TOK},
+    tok_alnum AS (SELECT doc_id, count(*) AS n_tokens FROM toks WHERE tok <> '' GROUP BY doc_id),
+    agg AS (
+      SELECT doc_id, count(*) AS n_terms, count(DISTINCT term) AS n_uniq,
+             CAST(sum(length(term)) AS BIGINT) AS sum_len,
+             sum(CASE WHEN term IN ({stoplist}) THEN 1 ELSE 0 END) AS n_stop
+      FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CAST(length(d.text) AS BIGINT) AS n_chars,
+      CAST(coalesce(ta.n_tokens, 0) AS BIGINT) AS n_tokens,
+      CAST(coalesce(a.n_terms, 0) AS BIGINT) AS n_terms,
+      round(CASE WHEN coalesce(a.n_terms, 0) > 0 THEN a.n_uniq / a.n_terms ELSE 0.0 END, 6) AS uniq_ratio,
+      round(CASE WHEN coalesce(a.n_terms, 0) > 0 THEN a.n_stop / a.n_terms ELSE 0.0 END, 6) AS stop_ratio,
+      round(CASE WHEN coalesce(a.n_terms, 0) > 0 THEN a.sum_len / a.n_terms ELSE 0.0 END, 6) AS mean_term_len,
+      round(
+        0.5 * least(coalesce(a.n_terms, 0) / 50.0, 1.0)
+        + 0.3 * (CASE WHEN coalesce(a.n_terms, 0) > 0 THEN a.n_uniq / a.n_terms ELSE 0.0 END)
+        + 0.2 * (1.0 - (CASE WHEN coalesce(a.n_terms, 0) > 0 THEN a.n_stop / a.n_terms ELSE 0.0 END)),
+      6) AS quality
+    FROM documents d
+    LEFT JOIN tok_alnum ta ON ta.doc_id = d.doc_id
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+    sql["doc_fingerprint"] = """
+    SELECT doc_id,
+      md5(array_to_string(list_filter(string_split(text, ' '), x -> length(x) > 2), ' ')) AS fingerprint,
+      CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 2)) AS BIGINT) AS n_terms
+    FROM documents
+    """
+
     sql["doclen_histogram"] = f"""
     WITH {_TOK}
     SELECT CAST(least(floor(dl / 10), 20) AS BIGINT) AS bucket,
            count(*) AS n_docs
     FROM doclen GROUP BY 1
+    """
+
+    sql["map_eval"] = f"""
+    WITH {_TOK}, {_BM25_SCORED},
+    ranked AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM scored
+    ),
+    run AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {K}),
+    nq AS (SELECT query_id, count(*) AS n_q FROM q GROUP BY query_id),
+    qrel AS (
+      SELECT q.query_id, tf.doc_id
+      FROM q JOIN tf USING (term)
+      GROUP BY q.query_id, tf.doc_id
+      HAVING count(*) = max((SELECT n_q FROM nq WHERE nq.query_id = q.query_id))
+    ),
+    totals AS (SELECT query_id, count(*) AS n_rel FROM qrel GROUP BY query_id),
+    hits AS (
+      SELECT r.query_id, r.rank,
+             CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+      FROM run r LEFT JOIN qrel qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+    ),
+    prec AS (
+      SELECT query_id, rank, is_rel,
+             sum(is_rel) OVER (PARTITION BY query_id ORDER BY rank) / rank AS p
+      FROM hits
+    ),
+    ap AS (SELECT query_id, sum(is_rel * p) AS sum_prec FROM prec GROUP BY query_id)
+    SELECT round(avg(ap.sum_prec / t.n_rel), 6) AS map,
+           count(*) AS n_queries
+    FROM ap JOIN totals t USING (query_id)
+    """
+
+    sql["query_dsl"] = f"""
+    WITH {_TOK},
+    leafagg AS (
+      SELECT tf.doc_id,
+        sum(CASE WHEN term IN ('hash', 'join') THEN
+          ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * {1.1 + 1.0!r}
+          / (tf.tf + 1.1 * (0.6 + 0.4 * dl.dl / (s.tok_cnt / s.n)))
+          ELSE 0.0 END) AS leaf0,
+        sum(CASE WHEN term IN ('merge') THEN tf.tf * ln(s.n / (1.0 + df.df)) ELSE 0.0 END) AS leaf1
+      FROM tf
+      JOIN df USING (term)
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      WHERE term IN ('hash', 'join', 'merge')
+      GROUP BY tf.doc_id
+    ),
+    dslscored AS (SELECT doc_id, round(2.0 * leaf0 + leaf1 + 0.1, 6) AS score FROM leafagg),
+    ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+             score
+      FROM dslscored
+    )
+    SELECT doc_id, rank, score FROM ranked WHERE rank <= {K}
+    """
+
+    sql["rm1_expansion"] = f"""
+    WITH {_TOK}, {_BM25_SCORED},
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ),
+    run AS (SELECT query_id, doc_id, score FROM ranked WHERE rnk <= {K}),
+    contrib AS (
+      SELECT r.query_id, t.term, sum(r.score * t.tf / dl.dl) AS w
+      FROM run r
+      JOIN tf t ON t.doc_id = r.doc_id
+      JOIN doclen dl ON dl.doc_id = r.doc_id
+      GROUP BY r.query_id, t.term
+    ),
+    normed AS (
+      SELECT query_id, term,
+             round(w / sum(w) OVER (PARTITION BY query_id), 6) AS weight
+      FROM contrib
+    ),
+    rk AS (
+      SELECT query_id, term,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY weight DESC, term) AS INTEGER) AS rank,
+             weight
+      FROM normed
+    )
+    SELECT query_id, term, rank, weight FROM rk WHERE rank <= 5
+    """
+
+    sql["windowed_events"] = """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS win_end,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
     """
 
     sql["trec_run"] = f"""

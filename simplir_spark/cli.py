@@ -1,0 +1,182 @@
+"""spark-submit entry point — the analog of the reference's `simplir`
+CLI (simplir-tools/Search.hs:119-147: score | corpus-stats | index).
+
+Usage (local or cluster — the session factory only changes master/memory):
+
+    python -m simplir_spark.cli package --out /tmp/simplir_spark.zip
+    spark-submit --py-files /tmp/simplir_spark.zip -m simplir_spark.cli ...
+
+Subcommands:
+    corpus-stats  --corpus PATH --out STATS.json
+    index         --corpus PATH --out INDEX_DIR [--partitions N]
+    merge         --out INDEX_DIR SRC [SRC ...]
+    query         --index INDEX_DIR --queries TSV --out RUN_DIR
+                  [--model bm25|tfidf] [--k K] [--k1 F] [--b F]
+    score         --corpus PATH --queries TSV --out RUN_DIR   (index-free EP1)
+    eval          --run RUN_DIR --qrels PATH
+
+Query files are the reference's TSV: ``qid \\t space-separated terms``
+(Search.hs:131-142; extra columns ignored).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def _read_queries(path: str) -> list[tuple[str, list[str]]]:
+    from simplir_spark.functions.tokenize import tokenize_query
+
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            qid, terms_raw = parts[0], parts[1] if len(parts) > 1 else ""
+            out.append((qid, tokenize_query(terms_raw)))
+    return out
+
+
+def cmd_package(args) -> None:
+    """Zip the package for spark-submit --py-files."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "simplir_spark")
+    with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirs, files in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    print(args.out)
+
+
+def _spark(args):
+    from simplir_spark.session import get_spark
+
+    return get_spark("simplir_cli", cores=getattr(args, "cores", None))
+
+
+def cmd_corpus_stats(args) -> None:
+    from simplir_spark.functions.tokenize import with_tokens
+    from simplir_spark.operators.stats import corpus_stats
+    from simplir_spark.sources.corpus import load_corpus
+
+    spark = _spark(args)
+    row = corpus_stats(with_tokens(load_corpus(spark, args.corpus))).collect()[0]
+    with open(args.out, "w") as f:
+        json.dump(row.asDict(), f, indent=1)
+    print(json.dumps(row.asDict()))
+
+
+def cmd_index(args) -> None:
+    from simplir_spark.operators.index_build import build_index
+    from simplir_spark.sources.corpus import load_corpus
+
+    spark = _spark(args)
+    build_index(spark, load_corpus(spark, args.corpus), args.out, n_partitions=args.partitions)
+    print(args.out)
+
+
+def cmd_merge(args) -> None:
+    from simplir_spark.operators.merge import merge_indexes
+
+    spark = _spark(args)
+    merge_indexes(spark, args.sources, args.out)
+    print(args.out)
+
+
+def cmd_query(args) -> None:
+    from simplir_spark.operators.index_build import open_index
+    from simplir_spark.operators.query_indexed import bm25_indexed
+    from simplir_spark.sources.trec import write_trec_run
+
+    spark = _spark(args)
+    idx = open_index(spark, args.index)
+    res = bm25_indexed(spark, idx, _read_queries(args.queries), k=args.k, k1=args.k1, b=args.b)
+    write_trec_run(res, args.out, method=args.model)
+    print(args.out)
+
+
+def cmd_score(args) -> None:
+    from simplir_spark.operators.query import bm25_scan
+    from simplir_spark.sources.corpus import load_corpus
+    from simplir_spark.sources.trec import write_trec_run
+
+    spark = _spark(args)
+    res = bm25_scan(
+        spark, load_corpus(spark, args.corpus), _read_queries(args.queries),
+        k=args.k, k1=args.k1, b=args.b, model=args.model,
+    )
+    write_trec_run(res, args.out, method=args.model)
+    print(args.out)
+
+
+def cmd_eval(args) -> None:
+    from simplir_spark.operators.evaluation import mean_average_precision
+    from simplir_spark.sources.trec import read_qrels, read_trec_run
+
+    spark = _spark(args)
+    run = read_trec_run(spark, args.run)
+    qrels = read_qrels(spark, args.qrels)
+    row = mean_average_precision(run, qrels).collect()[0]
+    print(json.dumps({"map": row["map"], "n_queries": row["n_queries"]}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="simplir_spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("package")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_package)
+
+    sp = sub.add_parser("corpus-stats")
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_corpus_stats)
+
+    sp = sub.add_parser("index")
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--partitions", type=int, default=None)
+    sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser("merge")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("sources", nargs="+")
+    sp.set_defaults(fn=cmd_merge)
+
+    for name in ("query", "score"):
+        sp = sub.add_parser(name)
+        if name == "query":
+            sp.add_argument("--index", required=True)
+        else:
+            sp.add_argument("--corpus", required=True)
+        sp.add_argument("--queries", required=True)
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--model", default="bm25")
+        sp.add_argument("--k", type=int, default=10)
+        sp.add_argument("--k1", type=float, default=1.1)
+        sp.add_argument("--b", type=float, default=0.4)
+        sp.set_defaults(fn=cmd_query if name == "query" else cmd_score)
+
+    sp = sub.add_parser("eval")
+    sp.add_argument("--run", required=True)
+    sp.add_argument("--qrels", required=True)
+    sp.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

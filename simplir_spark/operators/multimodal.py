@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata
+struct; decode / feature-extraction / resize / frame-sampling run as
+Arrow-vectorized ``mapInPandas`` so each batch of payloads hits the
+(vectorized) decoder once.  The actual codecs (PIL/libav) are NOT in this
+container — the decode kernel is stubbed behind ``SIMPLIR_FAKE_DECODE``:
+with the env var set (tests) a deterministic fake decoder exercises the
+full Spark plumbing (schema, batching, partitioning); without it the
+operator raises NotImplementedError at first batch, making the stub
+explicit rather than silently wrong.
+
+Scale notes: payload batches are bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch; binary columns should live
+in their own parquet column chunk (they do — columnar format), so
+metadata-only queries never read the payload bytes (column pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha256 string, feature array<double>"
+)
+
+
+def _fake_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic fake 'decoder': md5-seeded feature vector.
+
+    Stands in for image-decode + embedding until codecs are available;
+    keeps every Spark-side contract (batch shape, dtype, determinism)
+    real and testable.
+    """
+    h = hashlib.md5(payload).digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+    return rng.rand(dim)
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """binary payloads -> per-item feature vectors via mapInPandas."""
+    fake = os.environ.get("SIMPLIR_FAKE_DECODE") == "1"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decoding requires PIL/libav (not in this container); "
+                    "set SIMPLIR_FAKE_DECODE=1 for the deterministic test path"
+                )
+            feats = [
+                _fake_decode_features(bytes(p), dim).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "sha256": pdf["payload"].map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame.
+
+    The frame decode is stubbed like extract_features; the row-explosion
+    shape (media_id, frame_ts_ms, frame_payload) is the real contract.
+    """
+    fake = os.environ.get("SIMPLIR_FAKE_DECODE") == "1"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decoding requires libav; set SIMPLIR_FAKE_DECODE=1"
+                )
+            out_id, out_ts, out_frame = [], [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                dur = (meta or {}).get("duration_ms") or 0
+                for ts in range(0, int(dur), every_ms):
+                    out_id.append(mid)
+                    out_ts.append(ts)
+                    digest = hashlib.md5(bytes(payload) + ts.to_bytes(8, "big")).digest()
+                    out_frame.append(digest)
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_ts_ms": out_ts, "frame_payload": out_frame}
+            )
+
+    return media.mapInPandas(kernel, "media_id long, frame_ts_ms int, frame_payload binary")

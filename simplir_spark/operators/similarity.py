@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+ * cosine_topk    — brute-force exact top-k neighbors, all JVM-side
+   (zip_with + aggregate fold; no Python in the hot path).  The baseline.
+ * rp_lsh_buckets / rp_lsh_topk — random-hyperplane LSH (sign sketch)
+   bucketing as the scale path: candidates share a band of sign bits;
+   exact cosine re-ranking on candidates only.  Hyperplane components are
+   deterministic (md5-derived), so results are reproducible across runs
+   and cluster sizes.
+
+Scale notes: brute-force is O(Q×N) — fine when the query side is small
+and broadcastable; for N×N all-pairs use the LSH path (shuffle on bucket
+keys only).  An IVF variant would add a coarse k-means assignment —
+deliberately out of scope (non-deterministic training); LSH covers the
+sub-linear candidate generation requirement deterministically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    dot = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.withColumn("_v", v).withColumn("_norm", F.sqrt(dot))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for rows matching ``query_filter``.
+
+    Returns (query_id, neighbor_id, rank, cos).  The query side is
+    broadcast; the corpus side streams — one pass, no shuffle except the
+    final per-query top-k (tiny).
+    """
+    base = with_norm(emb, vec_col).select(F.col(id_col), "_v", "_norm")
+    q = base.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    pairs = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("_qv", "_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("_qnorm") * F.col("_norm"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    scored = pairs.select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: str = "simplir") -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes in {-1,+1}^dim (md5-seeded)."""
+    planes = np.empty((n_bits, dim), dtype=np.float64)
+    for i in range(n_bits):
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+        planes[i] = rng.choice([-1.0, 1.0], size=dim)
+    return planes
+
+
+def rp_lsh_buckets(
+    emb: DataFrame,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "simplir",
+) -> DataFrame:
+    """(id, band, bucket): sign-sketch bands for cosine LSH.
+
+    Arrow-vectorized: the whole batch's vectors hit one numpy matmul.
+    """
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    planes = _hyperplanes(dim, n_bits, seed)
+    width = n_bits // n_bands
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (m @ planes.T) > 0  # (batch, n_bits)
+        # fold each band's sign bits into an integer key, vectorized
+        weights = (1 << np.arange(width, dtype=np.int64))
+        out = []
+        for row in signs:
+            keys = [
+                int(row[bnd * width : (bnd + 1) * width] @ weights)
+                for bnd in range(n_bands)
+            ]
+            out.append(keys)
+        return pd.Series(out)
+
+    with_keys = emb.select(F.col(id_col), band_keys(F.col(vec_col)).alias("keys"))
+    return with_keys.select(
+        id_col, F.posexplode("keys").alias("band", "bucket")
+    )
+
+
+def rp_lsh_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 5,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: LSH candidate generation + exact cosine rerank.
+
+    Shuffle is on (band, bucket) keys only — sub-linear candidate pairs at
+    scale instead of the Q×N broadcast product.
+    """
+    buckets = rp_lsh_buckets(emb, n_bits, n_bands, id_col, vec_col)
+    qb = buckets.join(
+        emb.filter(query_filter).select(F.col(id_col).alias("query_id")),
+        buckets[id_col] == F.col("query_id"),
+    ).select("query_id", "band", "bucket")
+    cand = (
+        buckets.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    base = with_norm(emb, vec_col).select(F.col(id_col), "_v", "_norm")
+    qv = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    joined = (
+        cand.join(base.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("_qv", "_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot / (F.col("_qnorm") * F.col("_norm")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -16,23 +16,66 @@ analog of the reference's monoidal partial CorpusStats merge
 
 from __future__ import annotations
 
+from itertools import chain
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from simplir_spark.functions.tokenize import term_tfs_udf
+from pyspark.sql import types as T
 
 
 def doc_term_tfs(tokenized: DataFrame, doc_cols: list[str] | None = None) -> DataFrame:
-    """Explode a tokenized corpus to (doc..., doc_len, term, tf) rows.
+    """Flatten a tokenized corpus to (doc..., doc_len, term, tf) rows.
 
     One row per distinct (doc, term) — tf is pre-summed inside the Arrow
-    batch (M.fromListWith (+), SimpleIndex.hs:94-96).
+    batch (M.fromListWith (+), SimpleIndex.hs:94-96).  The kernel is one
+    ``np.unique`` over the whole batch's (doc, term) keys — no per-doc
+    Python loop, columnar in and out (mapInPandas, not explode(udf):
+    building 10^7 nested structs dominates the naive version's profile).
+    Output within a doc is term-sorted, fixing float summation order for
+    score parity (SURVEY.md §4.4).
     """
     doc_cols = doc_cols or ["doc_key"]
-    return (
-        tokenized.withColumn("_tt", F.explode(term_tfs_udf("terms")))
-        .select(*doc_cols, "doc_len", F.col("_tt.term").alias("term"), F.col("_tt.tf").alias("tf"))
-    )
+    in_df = tokenized.select(*doc_cols, "doc_len", "terms")
+    fields = [in_df.schema[c] for c in doc_cols]
+    fields.append(in_df.schema["doc_len"])
+    fields.append(T.StructField("term", T.StringType(), False))
+    fields.append(T.StructField("tf", T.LongType(), False))
+    schema = T.StructType(fields)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            terms_col = pdf["terms"]
+            lens = np.fromiter((len(t) for t in terms_col), dtype=np.int64, count=n)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.fromiter(chain.from_iterable(terms_col), dtype=object, count=total)
+            doc_ix = np.repeat(np.arange(n, dtype=np.int64), lens)
+            # factorize (hash) then remap codes to lexicographic rank so
+            # per-doc output order stays term-sorted (float-sum parity)
+            codes, uniq = pd.factorize(flat)
+            uniq = np.asarray(uniq, dtype=object)
+            order = np.argsort(uniq)
+            rank = np.empty(len(uniq), dtype=np.int64)
+            rank[order] = np.arange(len(uniq))
+            uniq_sorted = uniq[order]
+            inv = rank[codes]
+            key = doc_ix * len(uniq) + inv
+            ukey, tf = np.unique(key, return_counts=True)
+            d = ukey // len(uniq)
+            t_ix = ukey % len(uniq)
+            out = {c: pdf[c].to_numpy()[d] for c in doc_cols}
+            out["doc_len"] = pdf["doc_len"].to_numpy()[d]
+            out["term"] = uniq_sorted[t_ix]
+            out["tf"] = tf.astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return in_df.mapInPandas(kernel, schema)
 
 
 def corpus_stats(tokenized: DataFrame) -> DataFrame:
@@ -46,6 +89,49 @@ def corpus_stats(tokenized: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("doc_count"),
         F.coalesce(F.sum("doc_len"), F.lit(0)).cast("long").alias("token_count"),
         F.coalesce(F.sum("doc_len_alnum"), F.lit(0)).cast("long").alias("token_count_alnum"),
+    )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+    log: bool = False,
+) -> DataFrame:
+    """Binned counts — port of simplir's Histogram fold
+    (simplir/src/SimplIR/Histogram.hs:44-152: bounded/linear/log binning).
+
+    Linear: width_bucket over [lo, hi); log: buckets on log10(x) (x <= 0
+    lands in bucket 0).  Bounds default to a min/max aggregate (one cheap
+    pass).  Returns (bucket, lo, hi, n) with bucket 0 / n_bins+1 as
+    under/overflow, mirroring width_bucket semantics.
+    """
+    c = F.col(col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        lo = float(row.lo) if lo is None else lo
+        hi = float(row.hi) if hi is None else hi
+    if log:
+        c2 = F.when(c > 0, F.log10(c)).otherwise(F.lit(float("-inf")))
+        import math
+
+        lo2, hi2 = (math.log10(lo) if lo > 0 else -12.0), math.log10(hi) if hi > 0 else 0.0
+        raw = F.width_bucket(c2, F.lit(lo2), F.lit(hi2), F.lit(n_bins))
+        # exact edges; x == hi folds into the top bin, x > hi overflows
+        bucket = F.when(c2 > hi2, F.lit(n_bins + 1)).otherwise(F.least(raw, F.lit(n_bins)))
+        edges = [(10 ** (lo2 + (hi2 - lo2) * i / n_bins)) for i in range(n_bins + 1)]
+    else:
+        raw = F.width_bucket(c, F.lit(lo), F.lit(hi), F.lit(n_bins))
+        bucket = F.when(c > hi, F.lit(n_bins + 1)).otherwise(F.least(raw, F.lit(n_bins)))
+        edges = [lo + (hi - lo) * i / n_bins for i in range(n_bins + 1)]
+    counts = df.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    spark = df.sparkSession
+    edge_rows = [(i + 1, float(edges[i]), float(edges[i + 1])) for i in range(n_bins)]
+    edge_df = spark.createDataFrame(edge_rows, "bucket bigint, lo double, hi double")
+    return counts.join(F.broadcast(edge_df), "bucket", "left").select(
+        "bucket", "lo", "hi", "n"
     )
 
 

@@ -50,6 +50,9 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("deltas", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
+        # positional payload (null unless the index was built with
+        # positions=True) — the payload-generic `p` of DiskIndex
+        T.StructField("pos", T.BinaryType(), True),
     ]
 )
 

@@ -1,0 +1,67 @@
+"""CLI end-to-end: package -> corpus-stats -> index -> query -> score -> eval."""
+
+from __future__ import annotations
+
+import json
+import zipfile
+
+import pytest
+
+from simplir_spark import cli
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qfile(tmp_path_factory):
+    p = tmp_path_factory.mktemp("q") / "queries.tsv"
+    p.write_text("Q1\thash join\nQ2\tdup\nQ3\tzebra\n")
+    return str(p)
+
+
+def test_package_zip(tmp_path):
+    out = str(tmp_path / "pkg.zip")
+    cli.main(["package", "--out", out])
+    names = zipfile.ZipFile(out).namelist()
+    assert "simplir_spark/cli.py" in names
+    assert "simplir_spark/operators/index_build.py" in names
+
+
+def test_cli_pipeline(spark, tmp_path_factory, qfile, capsys):
+    base = tmp_path_factory.mktemp("cli")
+    stats = str(base / "stats.json")
+    cli.main(["corpus-stats", "--corpus", SF, "--out", stats])
+    s = json.load(open(stats))
+    assert s["doc_count"] == 500
+
+    idx = str(base / "idx")
+    cli.main(["index", "--corpus", SF, "--out", idx, "--partitions", "4"])
+
+    run_dir = str(base / "run")
+    cli.main(["query", "--index", idx, "--queries", qfile, "--out", run_dir, "--k", "5"])
+    from simplir_spark.sources.trec import read_trec_run
+
+    run = read_trec_run(spark, run_dir)
+    rows = run.collect()
+    qids = {r.qid for r in rows}
+    assert qids == {"Q1", "Q2"}  # Q3 term absent
+    assert all(1 <= r.rank <= 5 for r in rows)
+
+    # scan-mode score must produce the same ranking as the indexed path
+    run2_dir = str(base / "run2")
+    cli.main(["score", "--corpus", SF, "--queries", qfile, "--out", run2_dir, "--k", "5"])
+    run2 = read_trec_run(spark, run2_dir)
+    a = {(r.qid, r.doc, r.rank) for r in rows}
+    b = {(r.qid, r.doc, r.rank) for r in run2.collect()}
+    assert a == b
+
+    # eval against qrels derived from the run itself -> perfect MAP
+    qrels = str(base / "qrels.txt")
+    with open(qrels, "w") as f:
+        for r in rows:
+            if r.rank <= 2:
+                f.write(f"{r.qid} 0 {r.doc} 1\n")
+    cli.main(["eval", "--run", run_dir, "--qrels", qrels])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    m = json.loads(out)
+    assert m["n_queries"] == 2 and m["map"] == pytest.approx(1.0)

@@ -1,0 +1,117 @@
+"""Dedup / text-analysis / similarity operator tests beyond the
+driver-contract oracles: planted-duplicate recovery, approximate-vs-exact
+agreement, language ID on real multilingual text, winnowing overlap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simplir_spark.functions.text import lang_id, winnowing_fingerprints
+from simplir_spark.functions.tokenize import with_tokens
+from simplir_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    ngram_shingles,
+    simhash64,
+    simhash_near_pairs,
+)
+
+SF = "/root/testdata/sf0.01"
+PLANTED = (45, 413)  # known near-dup pair, 3-gram jaccard ~0.987
+
+
+@pytest.fixture(scope="module")
+def tokenized(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return with_tokens(docs).cache()
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, tokenized):
+    sh = ngram_shingles(tokenized)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(sh, 0.8).collect()}
+    assert PLANTED in pairs and pairs[PLANTED] > 0.95
+
+
+def test_minhash_lsh_covers_exact_jaccard_pairs(spark, tokenized):
+    sh = ngram_shingles(tokenized).cache()
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(sh, 0.8).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(minhash_signatures(sh, 16), 4).collect()
+    }
+    # banded LSH at (16,4) must recall all >=0.8-jaccard pairs on this data
+    assert exact <= approx
+
+
+def test_simhash_near_pairs_include_planted(spark, tokenized):
+    sh = simhash64(tokenized)
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_pairs(sh, max_hamming=3).collect()}
+    assert PLANTED in pairs
+
+
+def test_simhash_band_join_is_exact_for_hamming_bound(spark, tokenized):
+    # pigeonhole: with 4 bands, any pair at hamming <= 3 shares a band ->
+    # the band join loses nothing vs brute force
+    sh = simhash64(tokenized).collect()
+    vals = {r.doc_id: r.simhash for r in sh}
+    brute = set()
+    items = sorted(vals.items())
+    for i, (ida, a) in enumerate(items):
+        for idb, b in items[i + 1 :]:
+            if bin(a ^ b).count("1") <= 3:
+                brute.add((ida, idb))
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(
+            spark.createDataFrame(sh), max_hamming=3
+        ).collect()
+    }
+    assert got == brute
+
+
+def test_lang_id_on_real_text(spark):
+    samples = [
+        (1, "the cat sat on the mat and it was happy for a while", "en"),
+        (2, "der hund ist nicht mit der katze und das ist gut für alle", "de"),
+        (3, "le chat est dans la maison et il est content pour une heure", "fr"),
+        (4, "el perro es grande y la casa es una maravilla por las noches", "es"),
+        (5, "", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples], "doc_id long, text string")
+    toks = df.select("doc_id", F.split(F.lower("text"), " ").alias("terms"))
+    got = {r.doc_id: r.lang_pred for r in lang_id(toks).collect()}
+    for i, _, want in samples:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_winnowing_overlap_detects_shared_passage(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a = "intro words here " + shared + " trailing content one"
+    b = "different preamble text " + shared + " other ending two"
+    c = "completely unrelated document about spark joins and shuffles today"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, content string"
+    )
+    tok = with_tokens(df)
+    fps = {r.doc_id: set(r.fingerprints) for r in winnowing_fingerprints(tok).collect()}
+    assert fps[1] & fps[2], "shared passage not detected"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_rp_lsh_is_subset_superset_sane(spark):
+    from simplir_spark.operators.similarity import cosine_topk, rp_lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = cosine_topk(emb, F.col("vec_id") < 5, k=3).collect()
+    approx = rp_lsh_topk(emb, F.col("vec_id") < 5, k=3, n_bits=16, n_bands=8).collect()
+    # approximate results are valid rows: correct schema, cos in [-1, 1]
+    for r in approx:
+        assert -1.0 <= r.cos <= 1.0
+    # with 8 narrow bands the candidate set is wide; expect some overlap
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    x = {(r.query_id, r.neighbor_id) for r in exact}
+    assert len(a & x) >= 1

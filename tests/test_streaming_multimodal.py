@@ -1,0 +1,144 @@
+"""Structured-Streaming incremental index build + multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_chunks_merge_equals_batch_build(spark, tmp_path_factory):
+    from simplir_spark.functions import codec
+    from simplir_spark.operators.index_build import build_index, open_index
+    from simplir_spark.operators.merge import merge_indexes
+    from simplir_spark.streaming.ingest import stream_index_build
+
+    base = tmp_path_factory.mktemp("stream")
+    # split the corpus into multiple parquet files so the stream sees
+    # several micro-batches (maxFilesPerTrigger=1)
+    src = spark.read.parquet(f"{SF}/documents.parquet")
+    in_dir = str(base / "input")
+    # contiguous doc_id ranges -> chunk merge reproduces global id order
+    src.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(in_dir)
+    src.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(in_dir)
+
+    chunks = stream_index_build(
+        spark, in_dir, str(base / "stream_idx"), schema=src.schema,
+        max_files_per_trigger=1,
+    )
+    assert len(chunks) >= 2, f"expected >=2 micro-batch chunks, got {chunks}"
+    merged = merge_indexes(spark, chunks, str(base / "merged"))
+
+    full_dir = str(base / "full")
+    corpus = src.select(F.col("doc_id").alias("doc_key"), F.col("text").alias("content"))
+    build_index(spark, corpus, full_dir)
+
+    def pmap(root):
+        idx = open_index(spark, root)
+        out = {}
+        for r in idx.postings.collect():
+            dids, tfs, _ = codec.decode_run(
+                r.start_did, r.n, bytes(r.deltas), bytes(r.tfs), bytes(r.dls)
+            )
+            out.setdefault(r.term, {}).update(zip(dids.tolist(), tfs.tolist()))
+        return out
+
+    # NOTE: stream chunk order follows file order (contiguous id ranges),
+    # so merged dense ids equal the batch build's
+    assert pmap(str(merged.root)) == pmap(full_dir)
+    mi, fi = open_index(spark, str(merged.root)), open_index(spark, full_dir)
+    assert mi.doc_count == fi.doc_count and mi.token_count == fi.token_count
+
+
+def test_stream_resume_skips_processed_batches(spark, tmp_path_factory):
+    from simplir_spark.streaming.ingest import stream_index_build
+
+    base = tmp_path_factory.mktemp("stream_resume")
+    src = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    in_dir = str(base / "input")
+    src.coalesce(1).write.parquet(in_dir)
+    out = str(base / "idx")
+    chunks1 = stream_index_build(spark, in_dir, out, schema=src.schema)
+    # second run with same checkpoint: no new batches -> same chunk list
+    chunks2 = stream_index_build(spark, in_dir, out, schema=src.schema)
+    assert chunks1 == chunks2
+
+
+def test_windowed_event_counts_static(spark):
+    from simplir_spark.streaming.ingest import windowed_event_counts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = windowed_event_counts(ev, window="5 minutes")
+    rows = out.collect()
+    assert sum(r.n for r in rows) == ev.count()
+    for r in rows:
+        assert (r.win_end - r.win_start).total_seconds() == 300
+
+
+def test_windowed_event_counts_streaming_matches_static(spark, tmp_path_factory):
+    from simplir_spark.streaming.ingest import windowed_event_counts
+
+    base = tmp_path_factory.mktemp("evstream")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.coalesce(2).write.parquet(str(base / "in"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(base / "in"))
+    agg = windowed_event_counts(stream, window="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ev_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.win_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM ev_out").collect()
+    }
+    want = {
+        (r.win_start, r.event_type): r.n
+        for r in windowed_event_counts(ev, window="5 minutes").collect()
+    }
+    assert got == want
+
+
+def test_multimodal_fake_decode(spark, monkeypatch, tmp_path_factory):
+    from simplir_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        sample_frames,
+    )
+
+    monkeypatch.setenv("SIMPLIR_FAKE_DECODE", "1")
+    rows = [
+        (1, "image", "image/png", b"\x89PNG fake bytes 1", {"width": 8, "height": 8, "duration_ms": None}),
+        (2, "image", "image/png", b"\x89PNG fake bytes 2", {"width": 4, "height": 4, "duration_ms": None}),
+        (3, "video", "video/mp4", b"\x00mp4 fake", {"width": 16, "height": 9, "duration_ms": 3500}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 3
+    by_id = {r.media_id: r for r in feats}
+    assert all(len(r.feature) == 8 for r in feats)
+    assert by_id[1].feature != by_id[2].feature  # payload-dependent
+    # determinism across runs
+    feats2 = {r.media_id: r.feature for r in extract_features(media, dim=8).collect()}
+    assert {r.media_id: r.feature for r in feats} == feats2
+
+    frames = sample_frames(media.filter(F.col("kind") == "video"), every_ms=1000).collect()
+    assert [f.frame_ts_ms for f in sorted(frames, key=lambda r: r.frame_ts_ms)] == [0, 1000, 2000, 3000]
+
+
+def test_multimodal_without_codecs_raises(spark, monkeypatch):
+    from simplir_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    monkeypatch.delenv("SIMPLIR_FAKE_DECODE", raising=False)
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", b"x", {"width": 1, "height": 1, "duration_ms": None})],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|decoding requires"):
+        extract_features(media).collect()
