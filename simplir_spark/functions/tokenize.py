@@ -115,6 +115,22 @@ def _alnum_unique(uniq: np.ndarray) -> np.ndarray:
     return out
 
 
+def _factorize_tokens(all_toks: np.ndarray, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, uniques) for a flat token array.
+
+    ``pd.factorize``'s string hashtable compares C-strings, so tokens are
+    conflated at the first NUL byte ('A' == 'A\\x00AA') — wrong for the
+    reference semantics (NUL is not in the kill set and not whitespace).
+    Batches whose text contains NUL take the slower exact ``np.unique``
+    path (Python-level comparisons).
+    """
+    if bool(texts.str.contains("\x00", regex=False).any()):
+        uniq, inv = np.unique(all_toks, return_inverse=True)
+        return inv, np.asarray(uniq, dtype=object)
+    inv, uniq = pd.factorize(all_toks)
+    return inv, np.asarray(uniq, dtype=object)
+
+
 def tokenize_batch(texts: pd.Series) -> pd.DataFrame:
     """Vectorized tokenize over a batch of documents.
 
@@ -147,8 +163,7 @@ def tokenize_batch(texts: pd.Series) -> pd.DataFrame:
 
     # factorize hashes (O(n)) — np.unique would argsort 10^6 object
     # strings with Python-level comparisons (the profile hot spot)
-    inv, uniq = pd.factorize(all_toks)
-    uniq = np.asarray(uniq, dtype=object)
+    inv, uniq = _factorize_tokens(all_toks, texts)
     norm_u = _norm_unique(uniq)
     alnum_u = _alnum_unique(uniq)
 
@@ -169,6 +184,79 @@ def tokenize_batch(texts: pd.Series) -> pd.DataFrame:
 
     return pd.DataFrame(
         {"terms": term_lists, "doc_len": doc_len, "doc_len_alnum": dl_alnum}
+    )
+
+
+def tokenize_tf_batch(texts: pd.Series) -> pd.DataFrame:
+    """Tokenize + per-doc term-frequency aggregation in ONE kernel pass.
+
+    Fuses tokenize_batch with the (term, tf) grouping (`M.fromListWith (+)`,
+    SimpleIndex.hs:94-96) so the index build never materializes the raw
+    term sequence.  Returns columns:
+
+      terms          list[str]  — DISTINCT normalized terms, lexicographically
+                                  sorted (fixes float-summation order for
+                                  score parity, SURVEY.md §4.4)
+      tfs            list[int]  — per-term frequency, aligned with `terms`
+      doc_len        int32      — total surviving tokens (= sum(tfs))
+      doc_len_alnum  int32      — alnum raw-token count (Search.hs:458-460)
+    """
+    texts = texts.fillna("")
+    raw = texts.str.translate(_KILL_TABLE).str.split()
+    n_docs = len(texts)
+    lens = np.fromiter((len(t) for t in raw), dtype=np.int64, count=n_docs)
+    total = int(lens.sum())
+    if total == 0:
+        return pd.DataFrame(
+            {
+                "terms": [[] for _ in range(n_docs)],
+                "tfs": [[] for _ in range(n_docs)],
+                "doc_len": np.zeros(n_docs, dtype=np.int32),
+                "doc_len_alnum": np.zeros(n_docs, dtype=np.int32),
+            }
+        )
+    from itertools import chain
+
+    all_toks = np.fromiter(chain.from_iterable(raw), dtype=object, count=total)
+    doc_ix = np.repeat(np.arange(n_docs), lens)
+
+    inv, uniq = _factorize_tokens(all_toks, texts)
+    norm_u = _norm_unique(uniq)
+    alnum_u = _alnum_unique(uniq)
+    dl_alnum = np.bincount(doc_ix[alnum_u[inv]], minlength=n_docs).astype(np.int32)
+
+    # raw-token codes -> normalized-term codes -> lexicographic ranks
+    nt_codes, nt_uniq = pd.factorize(norm_u)
+    nt_uniq = np.asarray(nt_uniq, dtype=object)
+    order = np.argsort(nt_uniq)
+    rank = np.empty(len(nt_uniq), dtype=np.int64)
+    rank[order] = np.arange(len(nt_uniq))
+    nt_sorted = nt_uniq[order]
+    rank_all = rank[nt_codes[inv]]
+
+    # drop the empty normalization bucket ('' = killed token)
+    empty_pos = np.searchsorted(nt_sorted, "")
+    has_empty = empty_pos < len(nt_sorted) and nt_sorted[empty_pos] == ""
+    if has_empty:
+        keep = rank_all != empty_pos
+        doc_ix = doc_ix[keep]
+        rank_all = rank_all[keep]
+    doc_len = np.bincount(doc_ix, minlength=n_docs).astype(np.int32)
+
+    u = len(nt_sorted)
+    key = doc_ix * u + rank_all
+    ukey, tf = np.unique(key, return_counts=True)
+    d = ukey // u
+    terms_flat = nt_sorted[ukey % u]
+    n_distinct = np.bincount(d, minlength=n_docs)
+    bounds = np.cumsum(n_distinct)[:-1]
+    return pd.DataFrame(
+        {
+            "terms": list(np.split(terms_flat, bounds)),
+            "tfs": list(np.split(tf.astype(np.int64), bounds)),
+            "doc_len": doc_len,
+            "doc_len_alnum": dl_alnum,
+        }
     )
 
 
@@ -246,8 +334,7 @@ def tokenize_pos_batch(texts: pd.Series) -> pd.DataFrame:
     offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
     raw_pos = (np.arange(total) - offsets[doc_ix]).astype(np.int32)
 
-    inv, uniq = pd.factorize(all_toks)
-    uniq = np.asarray(uniq, dtype=object)
+    inv, uniq = _factorize_tokens(all_toks, texts)
     norm_all = _norm_unique(uniq)[inv]
     alnum_all = _alnum_unique(uniq)[inv]
     dl_alnum = np.bincount(doc_ix[alnum_all], minlength=n_docs).astype(np.int32)

@@ -47,9 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simplir_spark.functions import codec
-from simplir_spark.functions.tokenize import with_tokens
 from simplir_spark.operators.stats import corpus_stats as corpus_stats_agg
-from simplir_spark.operators.stats import doc_term_tfs
 from simplir_spark.plans.pipeline import PipelineRunner
 from simplir_spark.schema import POSTINGS_SCHEMA
 from simplir_spark.sources.corpus import with_integrity
@@ -120,6 +118,94 @@ def assign_doc_ids(df: DataFrame, key_col: str = "doc_key", n_buckets: int | Non
     return out, cuts
 
 
+def bucket_offsets(df: DataFrame, key_col: str, cuts: list[str]) -> dict[int, int]:
+    """Per-bucket exclusive-scan offsets (Document.hs:62-76's mapAccumL).
+
+    One column-pruned aggregation over ``key_col`` only — the heavy
+    columns never execute for this pass.
+    """
+    counts = {
+        int(r["_b"]): int(r["count"])
+        for r in df.select(bucket_expr(key_col, cuts).alias("_b")).groupBy("_b").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    return offsets
+
+
+def probe_shuffle_keys(spark: SparkSession, n_buckets: int, n_partitions: int) -> list[int]:
+    """For each bucket b find an int x_b with pmod(murmur3(x_b), P) == b.
+
+    ``repartition(P, col)`` places a row in partition
+    pmod(Murmur3Hash(col, seed=42), P) — the same hash ``F.hash`` exposes —
+    so repartitioning on x_bucket maps bucket b exactly to partition b:
+    one shuffle, perfectly aligned bucket->partition placement, no
+    sampling pass.  Correctness never depends on this mapping (the id
+    kernel groups by bucket VALUE); only balance does.
+    """
+    found: dict[int, int] = {}
+    lo = 0
+    while len(found) < n_buckets:
+        probe = spark.range(lo, lo + 64 * max(n_partitions, n_buckets)).select(
+            F.col("id").cast("int").alias("x"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_partitions)).alias("p"),
+        )
+        for r in probe.collect():
+            p = int(r["p"])
+            if p < n_buckets and p not in found:
+                found[p] = int(r["x"])
+        lo += 64 * max(n_partitions, n_buckets)
+    return [found[b] for b in range(n_buckets)]
+
+
+def make_tokenize_assign_kernel(offsets: dict[int, int], carry_cols: list[str],
+                                with_positions: bool):
+    """mapInPandas kernel: rows sorted by (_bucket, doc_key) within the
+    partition -> tokenized rows with dense dids.
+
+    did = offset[bucket] + running position within the bucket — the
+    distributed equivalent of zipping the doc stream with [0..]
+    (collectIndex, Build.hs:117-135) plus chunk-offset re-basing
+    (Document.hs:62-76).  Tokenization runs in the SAME pass, after the
+    shuffle, so content crosses the wire exactly once and no separate
+    id-assignment job exists.
+    """
+    from simplir_spark.functions.tokenize import tokenize_pos_batch, tokenize_tf_batch
+
+    def kernel(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            b = pdf["_bucket"].to_numpy()
+            dids = np.empty(n, dtype=np.int64)
+            change = np.nonzero(b[1:] != b[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+            for s, e in zip(starts, ends):
+                bb = int(b[s])
+                base = offsets[bb] + counters.get(bb, 0)
+                dids[s:e] = np.arange(base, base + (e - s))
+                counters[bb] = counters.get(bb, 0) + (e - s)
+            tok = (
+                tokenize_pos_batch(pdf["content"])
+                if with_positions
+                else tokenize_tf_batch(pdf["content"])
+            )
+            out = {"did": dids}
+            for c in carry_cols:
+                out[c] = pdf[c].to_numpy()
+            for c in tok.columns:
+                out[c] = tok[c].to_numpy() if tok[c].dtype != object else tok[c]
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # Posting-run encoding (streaming, batch-boundary-safe)
 # ---------------------------------------------------------------------------
@@ -183,23 +269,66 @@ def make_run_encoder(run_size: int, with_positions: bool = False):
     return encode
 
 
+def term_did_cuts(pairs_sample: list[tuple], n_partitions: int) -> list[tuple]:
+    """Range boundaries over (term, did) pairs — (n_partitions-1) cuts."""
+    if n_partitions <= 1 or not pairs_sample:
+        return []
+    s = sorted(pairs_sample)
+    cuts = []
+    for i in range(1, n_partitions):
+        cuts.append(s[min(len(s) - 1, i * len(s) // n_partitions)])
+    return sorted(set(cuts))
+
+
+def term_did_bucket_expr(cuts: list[tuple]):
+    """bucket = number of cuts <= (term, did), lexicographic — pure expr."""
+    if not cuts:
+        return F.lit(0)
+    arr = F.array([F.struct(F.lit(t).alias("t"), F.lit(int(d)).alias("d")) for t, d in cuts])
+    term, did = F.col("term"), F.col("did")
+    return F.size(
+        F.filter(arr, lambda c: (c["t"] < term) | ((c["t"] == term) & (c["d"] <= did)))
+    )
+
+
 def build_postings(pairs: DataFrame, n_partitions: int | None = None,
                    run_size: int = RUN_SIZE_DEFAULT,
-                   with_positions: bool = False) -> DataFrame:
+                   with_positions: bool = False,
+                   sample_pairs: list[tuple] | None = None) -> DataFrame:
     """(did, doc_len, term, tf[, positions]) -> posting-run DataFrame.
 
     Range partition on (term, did): term locality for parquet min/max
-    pruning, natural sub-run splitting for hot terms.
+    pruning, natural sub-run splitting for hot terms (a term with df
+    larger than a partition's share spans ADJACENT partitions — this is
+    the salted skew split, with the range partitioner as the salt).
+
+    Partitioning is explicit (sampled boundaries + probe-key shuffle)
+    instead of ``repartitionByRange`` so the boundary sample comes from a
+    cheap caller-supplied sample rather than a full re-execution of the
+    pairs plan (the built-in range partitioner re-runs its child to
+    sample it).
     """
     spark = pairs.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = ["term", "did", "tf", "doc_len"] + (["positions"] if with_positions else [])
-    part = (
-        pairs.repartitionByRange(n_partitions, "term", "did")
-        .sortWithinPartitions("term", "did")
-        .select(*cols)
-    )
+    if sample_pairs is None:
+        part = (
+            pairs.repartitionByRange(n_partitions, "term", "did")
+            .sortWithinPartitions("term", "did")
+            .select(*cols)
+        )
+    else:
+        cuts = term_did_cuts(sample_pairs, n_partitions)
+        n_buckets = len(cuts) + 1
+        xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
+        part = (
+            pairs.withColumn("_b", term_did_bucket_expr(cuts))
+            .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_b") + 1))
+            .repartition(n_buckets, "_xb")
+            .sortWithinPartitions("term", "did")
+            .select(*cols)
+        )
     return part.mapInPandas(make_run_encoder(run_size, with_positions), POSTINGS_SCHEMA)
 
 
@@ -266,53 +395,60 @@ def build_index(
     )
 
     def build_docmeta() -> DataFrame:
-        # Tokenization is the CPU-heavy stage and the Arrow UDF runs
-        # directly over the scan — decouple its parallelism from the input
-        # file layout (a single small parquet file would otherwise pin it
-        # to one task; at 100 TB the scan has ample splits and AQE elides
-        # the extra round-robin exchange into cheap rebalancing).
-        src = with_integrity(corpus).repartition(n_partitions)
-        extra_cols = []
-        if with_positions:
-            from simplir_spark.functions.tokenize import tokenize_pos_udf
-
-            tok = (
-                src.withColumn("_tok", tokenize_pos_udf(F.col("content")))
-                .select(
-                    "*",
-                    F.col("_tok.terms").alias("terms"),
-                    F.col("_tok.positions").alias("positions"),
-                    F.col("_tok.doc_len").alias("doc_len"),
-                    F.col("_tok.doc_len_alnum").alias("doc_len_alnum"),
-                )
-                .drop("_tok")
-            )
-            extra_cols = ["positions"]
-        else:
-            tok = with_tokens(src)
-        with_ids, cuts = assign_doc_ids(tok, n_buckets=n_partitions)
+        # One slim pass for id bookkeeping, ONE heavy pass for everything
+        # else.  Shape of the heavy pass: shuffle raw content once
+        # (bucket-aligned partitions), then a single mapInPandas performs
+        # dense-id assignment AND tokenization AND per-doc tf aggregation —
+        # content crosses the wire exactly once and the token stream is
+        # never materialized (each doc stores distinct terms + tfs).
+        src = with_integrity(corpus)
+        slim = src.select("doc_key")
+        cuts = sample_boundaries(slim, "doc_key", n_partitions)  # slim sample
+        offsets = bucket_offsets(slim, "doc_key", cuts)          # slim agg
         with open(os.path.join(out_dir, "_bucket_cuts.json"), "w") as f:
             json.dump(cuts, f)
-        optional = [c for c in ("repo", "path", "commit", "lang") if c in with_ids.columns]
-        return with_ids.select(
-            "did", "doc_key", *optional,
-            "doc_len", "doc_len_alnum", "sha256", "terms", *extra_cols,
-        ).repartitionByRange(n_partitions, "did")
+        n_buckets = len(cuts) + 1
+        # probe modulus MUST equal the repartition partition count, else
+        # buckets scatter (collision skew)
+        xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
+        carry = ["doc_key"] + [
+            c for c in ("repo", "path", "commit", "lang") if c in src.columns
+        ] + ["sha256"]
+        kernel = make_tokenize_assign_kernel(offsets, carry, with_positions)
+        tok_fields = (
+            "terms array<string>, positions array<int>"
+            if with_positions
+            else "terms array<string>, tfs array<long>"
+        )
+        carry_types = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+        schema = (
+            "did long, "
+            + ", ".join(f"{c} {carry_types[c]}" for c in carry)
+            + f", {tok_fields}, doc_len int, doc_len_alnum int"
+        )
+        heavy = (
+            src.withColumn("_bucket", bucket_expr("doc_key", cuts))
+            .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_bucket") + 1))
+            .repartition(n_buckets, "_xb")
+            .sortWithinPartitions("_bucket", "doc_key")
+        )
+        return heavy.mapInPandas(kernel, schema)
 
     # The tokenized checkpoint IS the docmeta table: parquet column pruning
-    # means docmeta readers never touch the heavy `terms` column, so a
-    # separate docmeta write would only duplicate I/O (open_index projects
-    # the docmeta columns).
+    # means docmeta readers never touch the heavy `terms`/`tfs` columns, so
+    # a separate docmeta write would only duplicate I/O (open_index projects
+    # the docmeta columns).  Bucket-aligned partitions are did-contiguous,
+    # so parquet min/max stats on did give range pruning for free.
     os.makedirs(out_dir, exist_ok=True)
     r_tok = runner.run_df_stage("tokenized", build_docmeta, sort_within_partitions=["did"])
 
     tokenized = spark.read.parquet(r_tok.output)
 
-    # pairs checkpoint: the range partitioner SAMPLES its input, which
-    # would otherwise execute the tf-flattening UDF twice; materializing
-    # (did, doc_len, term, tf) lets the sampling read plain column-pruned
-    # parquet and gives the build another resume point.
     def build_pairs() -> DataFrame:
+        # (did, doc_len, term, tf) from the checkpoint.  JVM-side explode
+        # of the pre-aggregated per-doc (terms, tfs) arrays — cheap enough
+        # that the range partitioner's sampling pass just re-runs it off
+        # page-cached parquet (no pairs checkpoint needed).
         if with_positions:
             from simplir_spark.functions.tokenize import term_tf_positions_udf
 
@@ -324,17 +460,26 @@ def build_index(
                 F.col("_tt.tf").alias("tf"),
                 F.col("_tt.positions").alias("positions"),
             )
-        return doc_term_tfs(tokenized, doc_cols=["did"])
+        return tokenized.select(
+            "did", "doc_len", F.explode(F.arrays_zip("terms", "tfs")).alias("_tt")
+        ).select(
+            "did", "doc_len",
+            F.col("_tt.terms").alias("term"),
+            F.col("_tt.tfs").alias("tf"),
+        )
 
-    r_pairs = runner.run_df_stage("pairs", build_pairs, upstream=["tokenized"])
-    pairs_df = spark.read.parquet(r_pairs.output)
-
+    # repartitionByRange's boundary resample re-runs the pairs plan, but
+    # that plan is a column-pruned read of the tokenized CHECKPOINT plus a
+    # JVM explode — measured cheaper than evaluating explicit boundary
+    # expressions per row (build_postings(sample_pairs=...) is the opt-in
+    # alternative when the pairs input is not a checkpoint).
     r_post = runner.run_df_stage(
         "postings",
         lambda: build_postings(
-            pairs_df, n_partitions=n_partitions, run_size=run_size, with_positions=with_positions
+            build_pairs(), n_partitions=n_partitions, run_size=run_size,
+            with_positions=with_positions,
         ),
-        upstream=["pairs"],
+        upstream=["tokenized"],
         sort_within_partitions=["term", "start_did"],
     )
 
@@ -373,7 +518,7 @@ def open_index(spark: SparkSession, root: str) -> IndexHandle:
     with open(paths.corpus_stats) as f:
         cs = json.load(f)
     docmeta = spark.read.parquet(paths.docmeta)
-    for heavy in ("terms", "positions"):
+    for heavy in ("terms", "positions", "tfs"):
         if heavy in docmeta.columns:
             docmeta = docmeta.drop(heavy)  # column-pruned at scan time
     return IndexHandle(

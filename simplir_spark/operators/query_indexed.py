@@ -52,12 +52,16 @@ def score_query_runs(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     decode_counter: list | None = None,
+    did_lo: int | None = None,
+    did_hi: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one query's posting runs; returns (top dids, top scores).
 
     ``runs`` columns: term, start_did, end_did, n, max_tf, deltas, tfs, dls
     plus per-term ``df``.  ``decode_counter`` (tests) receives
-    [decoded_runs, total_runs].
+    [decoded_runs, total_runs].  ``did_lo``/``did_hi`` restrict scoring to
+    dids in [lo, hi) — the shard contract: every run overlapping the range
+    must be present, postings outside it are dropped after decode.
     """
     if len(runs) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
@@ -117,6 +121,15 @@ def score_query_runs(
                 continue
             decoded += 1
             dids, tfs, dls = codec.decode_run(row.start_did, row.n, row.deltas, row.tfs, row.dls)
+            if did_lo is not None or did_hi is not None:
+                m = np.ones(len(dids), dtype=bool)
+                if did_lo is not None:
+                    m &= dids >= did_lo
+                if did_hi is not None:
+                    m &= dids < did_hi
+                dids, tfs, dls = dids[m], tfs[m], dls[m]
+                if len(dids) == 0:
+                    continue
             new_dids.append(dids)
             new_contribs.append(_bm25_contrib(tfs, dls, idf, avg_doc_len, k1, b))
         if new_dids:
@@ -143,45 +156,80 @@ def bm25_indexed(
     k: int = 10,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """All queries against the index in one job.
 
     Returns (query_id, doc_key, rank, score).  Rank ties break by did,
     which by construction equals doc_key order (dense ids are assigned in
-    doc_key order — index_build.assign_doc_ids).
+    doc_key order — index_build).
+
+    Scoring parallelism is (queries × did-range shards), not just queries:
+    each run row is routed to every shard its [start_did, end_did] range
+    overlaps (``F.sequence`` + explode, ≤2 shards per run in practice), a
+    shard scores only dids inside its range — a doc's complete score lives
+    in exactly one shard, so per-shard top-k then a global window rank is
+    exact (the distributed form of collectPostings' doc-at-a-time union,
+    Posting2/Collect.hs:53-82).
     """
     qdf = queries_df(spark, queries)
     doc_count, avg_doc_len = index.doc_count, index.avg_doc_len
+    if n_shards is None:
+        par = spark.sparkContext.defaultParallelism
+        n_shards = max(1, (2 * par) // max(1, len(queries)))
+    span = max(1, -(-max(1, doc_count) // n_shards))  # ceil
 
     q_terms = sorted({t for _, terms in queries for t in terms})
     post = index.postings.filter(F.col("term").isin(q_terms))  # parquet pushdown
     matched = (
         post.join(F.broadcast(qdf), "term")
         .join(F.broadcast(index.term_stats.filter(F.col("term").isin(q_terms))), "term")
+        .withColumn(
+            "shard",
+            F.explode(
+                F.sequence(
+                    (F.col("start_did") / span).cast("long"),
+                    (F.col("end_did") / span).cast("long"),
+                )
+            ),
+        )
         .select(
-            "query_id", "term", "df", "start_did", "end_did", "n",
+            "query_id", "shard", "term", "df", "start_did", "end_did", "n",
             "max_tf", "deltas", "tfs", "dls",
         )
     )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["query_id"].iloc[0]
-        dids, scores = score_query_runs(pdf, doc_count, avg_doc_len, k, k1, b)
-        return pd.DataFrame(
-            {
-                "query_id": qid,
-                "did": dids,
-                "rank": np.arange(1, len(dids) + 1, dtype=np.int32),
-                "score": scores,
-            }
+        shard = int(pdf["shard"].iloc[0])
+        dids, scores = score_query_runs(
+            pdf, doc_count, avg_doc_len, k, k1, b,
+            did_lo=shard * span, did_hi=(shard + 1) * span,
         )
+        return pd.DataFrame({"query_id": qid, "did": dids, "score": scores})
 
-    topk = matched.groupBy("query_id").applyInPandas(
-        score_group, "query_id string, did long, rank int, score double"
+    from pyspark.sql import Window
+
+    local_topk = matched.groupBy("query_id", "shard").applyInPandas(
+        score_group, "query_id string, did long, score double"
     )
-    # resolve doc_key: the top-k side is tiny -> broadcast it
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("did"))
+    topk = (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "did", F.col("rank").cast("int").alias("rank"), "score")
+    )
+    # resolve doc_key: collect the tiny top-k, then a did-pruned docmeta
+    # scan (isin pushdown hits parquet min/max on the did-contiguous
+    # partitions) + broadcast join
+    rows = topk.collect()
+    if not rows:
+        return spark.createDataFrame([], "query_id string, doc_key string, rank int, score double")
+    topk_df = spark.createDataFrame(rows, topk.schema)
+    dids = sorted({r["did"] for r in rows})
     return (
         index.docmeta.select("did", "doc_key")
-        .join(F.broadcast(topk), "did")
+        .filter(F.col("did").isin(dids))
+        .join(F.broadcast(topk_df), "did")
         .select("query_id", "doc_key", "rank", "score")
     )

@@ -126,7 +126,7 @@ def test_resume_skips_all_stages(spark, corpus_small, index_dir):
     paths = build_index(spark, corpus_small, index_dir, n_partitions=8, run_size=64)
     lineage = os.path.join(index_dir, "_lineage")
     assert {f for f in os.listdir(lineage)} == {
-        "tokenized.json", "pairs.json", "postings.json", "term_stats.json", "corpus_stats.json",
+        "tokenized.json", "postings.json", "term_stats.json", "corpus_stats.json",
     }
     # stage runner reported skips (wall 0) — verify via fresh runner behavior:
     # the manifests exist and build_index returned instantly reusing them.
