@@ -249,6 +249,111 @@ def q_query_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("doc_key", "doc_id")
 
 
+def q_ql_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = bm25_scan(
+        spark, _corpus(spark, sf_dir), QL_QUERIES, k=K, model="ql_jm", jm_alpha=0.5, round_dp=DP
+    )
+    return _rename_key(res.select("query_id", "doc_key", "rank", "score"))
+
+
+def q_ql_laplace_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, model="ql_laplace", round_dp=DP)
+    return _rename_key(res.select("query_id", "doc_key", "rank", "score"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.functions.text import lang_id
+
+    return lang_id(_tokenized_docs(spark, sf_dir))
+
+
+def q_prec_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.operators.evaluation import precision_at_k
+
+    run, qrels = _run_and_qrels(spark, sf_dir)
+    p = precision_at_k(run, qrels, K)
+    return p.select("qid", F.round(f"p_at_{K}", DP).alias("p_at_k"))
+
+
+def q_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.operators.evaluation import reciprocal_rank
+
+    run, qrels = _run_and_qrels(spark, sf_dir)
+    rr = reciprocal_rank(run, qrels)
+    return rr.select("qid", F.round("rr", DP).alias("rr"))
+
+
+def _run_and_qrels(spark: SparkSession, sf_dir: str):
+    """BM25 run + deterministic qrels (doc relevant iff it contains every
+    query term) — shared by the evaluation-metric queries."""
+    from simplir_spark.operators.query import queries_df
+
+    tok = _tokenized_docs(spark, sf_dir)
+    pairs = doc_term_tfs(tok, doc_cols=["doc_id"])
+    qdf = queries_df(spark, QUERIES)
+    nq = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
+    qrels = (
+        pairs.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(nq), "query_id")
+        .filter(F.col("n_hit") == F.col("n_q"))
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("doc_id").cast("string").alias("doc"),
+            F.lit(1).alias("relevance"),
+        )
+    )
+    run = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP).select(
+        F.col("query_id").alias("qid"), F.col("doc_key").cast("string").alias("doc"), "rank"
+    )
+    return run, qrels
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.functions.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(_tokenized_docs(spark, sf_dir), k=5, window=4)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors — the scale path next to
+    brute-force q_embedding_cosine_topk.  The seeded hyperplane sketch is
+    not SQL-expressible, so this entry is rows-only checked (no oracle);
+    recall vs brute force is asserted in tests/test_dedup_text.py."""
+    from simplir_spark.operators.similarity import rp_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return rp_lsh_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction plumbing (decode stubbed behind a
+    deterministic fake — no codec libs in this container).  Feature vectors
+    are not SQL-expressible -> rows-only checked; sha256/n_bytes integrity
+    is covered by tests/test_streaming_multimodal.py."""
+    import os as _os
+
+    from simplir_spark.operators.multimodal import extract_features
+
+    _os.environ["SIMPLIR_FAKE_DECODE"] = "1"
+    media = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"), F.lit(64).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha256",
+        F.transform("feature", lambda x: F.round(x, DP)).alias("feature"),
+    )
+
+
 def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = with_tokens(_corpus(spark, sf_dir))
     bucket = F.least(F.floor(F.col("doc_len") / 10), F.lit(20)).cast("long")
@@ -284,6 +389,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "rm1_expansion": q_rm1_expansion,
         "query_dsl": q_query_dsl,
+        "ql_jm_topk": q_ql_jm_topk,
+        "ql_laplace_topk": q_ql_laplace_topk,
+        "lang_id": q_lang_id,
+        "prec_at_k": q_prec_at_k,
+        "reciprocal_rank": q_reciprocal_rank,
+        "winnowing": q_winnowing,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -660,6 +773,154 @@ def oracle_sql() -> dict[str, str]:
            round(sum(value), 6) AS sum_value
     FROM events
     GROUP BY 1, 2, 3
+    """
+
+    sql["ql_jm_topk"] = f"""
+    WITH {_TOK},
+    q(query_id, term, qtf) AS (VALUES {_values_q_qtf(QL_QUERIES)}),
+    cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+    matched AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+    scored AS (
+      SELECT m.query_id, m.doc_id,
+        round(sum(
+          q.qtf * ln( 0.5 * coalesce(tf.tf, 0) / dl.dl
+                      + 0.5 * (cf.cf / s.tok_cnt) )
+        ), 6) AS score
+      FROM matched m
+      JOIN q ON q.query_id = m.query_id
+      LEFT JOIN tf ON tf.doc_id = m.doc_id AND tf.term = q.term
+      JOIN cf ON cf.term = q.term
+      JOIN doclen dl ON dl.doc_id = m.doc_id
+      CROSS JOIN stats s
+      GROUP BY m.query_id, m.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+             score
+      FROM scored
+    )
+    SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {K}
+    """
+
+    sql["ql_laplace_topk"] = f"""
+    WITH {_TOK},
+    q(query_id, term, qtf) AS (VALUES {_values_q_qtf(QUERIES)}),
+    matched AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+    scored AS (
+      SELECT m.query_id, m.doc_id,
+        round(sum(q.qtf * ln((coalesce(tf.tf, 0) + 1.0) / (dl.dl + 2.0))), 6) AS score
+      FROM matched m
+      JOIN q ON q.query_id = m.query_id
+      LEFT JOIN tf ON tf.doc_id = m.doc_id AND tf.term = q.term
+      JOIN doclen dl ON dl.doc_id = m.doc_id
+      GROUP BY m.query_id, m.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+             score
+      FROM scored
+    )
+    SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {K}
+    """
+
+    from simplir_spark.functions.text import _LANG_PROFILES
+
+    lang_cols = []
+    for lg in sorted(_LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lg]))
+        lang_cols.append(
+            f"sum(CASE WHEN term IN ({words}) THEN 1 ELSE 0 END) / count(*) AS s_{lg}"
+        )
+    lang_pred_case = " ".join(
+        f"WHEN s_{lg} = m THEN '{lg}'" for lg in sorted(_LANG_PROFILES)
+    )
+    sql["lang_id"] = f"""
+    WITH {_TOK},
+    votes AS (
+      SELECT doc_id, {', '.join(lang_cols)}
+      FROM terms GROUP BY doc_id
+    ),
+    best AS (
+      SELECT doc_id, greatest({', '.join('s_' + lg for lg in sorted(_LANG_PROFILES))}) AS m, *
+      FROM votes
+    )
+    SELECT d.doc_id,
+      CASE WHEN b.m IS NULL OR b.m <= 0 THEN 'und' {lang_pred_case} END AS lang_pred,
+      round(coalesce(b.m, 0.0), 6) AS lang_score
+    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+    """
+
+    sql["prec_at_k"] = f"""
+    WITH {_TOK}, {_BM25_SCORED},
+    ranked AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM scored
+    ),
+    run AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {K}),
+    nq AS (SELECT query_id, count(*) AS n_q FROM q GROUP BY query_id),
+    qrel AS (
+      SELECT q.query_id, tf.doc_id
+      FROM q JOIN tf USING (term)
+      GROUP BY q.query_id, tf.doc_id
+      HAVING count(*) = max((SELECT n_q FROM nq WHERE nq.query_id = q.query_id))
+    )
+    SELECT r.query_id AS qid,
+           round(sum(CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END) / {K}.0, 6) AS p_at_k
+    FROM run r LEFT JOIN qrel qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+    GROUP BY r.query_id
+    """
+
+    sql["reciprocal_rank"] = f"""
+    WITH {_TOK}, {_BM25_SCORED},
+    ranked AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM scored
+    ),
+    run AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {K}),
+    nq AS (SELECT query_id, count(*) AS n_q FROM q GROUP BY query_id),
+    qrel AS (
+      SELECT q.query_id, tf.doc_id
+      FROM q JOIN tf USING (term)
+      GROUP BY q.query_id, tf.doc_id
+      HAVING count(*) = max((SELECT n_q FROM nq WHERE nq.query_id = q.query_id))
+    )
+    SELECT r.query_id AS qid, round(1.0 / min(r.rank), 6) AS rr
+    FROM run r JOIN qrel qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+    GROUP BY r.query_id
+    """
+
+    # winnowing: k-gram (k=5) 60-bit md5 hashes ('0x'||first-15-hex ==
+    # digest[:8] >> 4), per-4-window minima, sorted distinct
+    sql["winnowing"] = """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 2) AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i,
+        ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]), 1, 15))::BIGINT AS h
+      FROM tk, unnest(generate_series(1, len(toks) - 4)) AS g(i)
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM grams
+    ),
+    sel AS (
+      SELECT doc_id, m FROM wins
+      WHERE (n <= 4 AND i = 1) OR (n > 4 AND i <= n - 3)
+    ),
+    fp AS (
+      SELECT doc_id, list_sort(list_distinct(list(m))) AS fingerprints
+      FROM sel GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(fp.fingerprints, CAST([] AS BIGINT[])) AS fingerprints
+    FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
     """
 
     sql["trec_run"] = f"""

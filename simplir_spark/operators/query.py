@@ -24,6 +24,8 @@ from simplir_spark.functions.scoring import (
     K1_DEFAULT,
     bm25_term_score,
     ql_dirichlet_term_score,
+    ql_jm_term_score,
+    ql_laplace_term_score,
     tfidf_term_score,
 )
 from simplir_spark.functions.tokenize import with_tokens
@@ -59,6 +61,7 @@ def bm25_scan(
     b: float = B_DEFAULT,
     model: str = "bm25",
     mu: float = 1000.0,
+    jm_alpha: float = 0.5,
     round_dp: int | None = None,
 ) -> DataFrame:
     """Index-free scoring of all queries in one pass over the corpus.
@@ -109,8 +112,9 @@ def bm25_scan(
             .groupBy("query_id", "doc_key")
             .agg(F.sum("term_score").alias("score"))
         )
-    elif model == "ql_dirichlet":
-        # log-domain sum over ALL query terms (absent terms contribute the
+    elif model in ("ql_dirichlet", "ql_jm", "ql_laplace"):
+        # query-likelihood family (QueryLikelihood.hs:38-73): log-domain
+        # sum over ALL query terms (absent terms contribute the smoothed
         # background probability); docs qualify via the match-any union.
         # Implemented as: matched docs per query, cross with the query's
         # terms, left join tf.
@@ -126,11 +130,15 @@ def bm25_scan(
         expanded = match_docs.join(F.broadcast(q_with_stats), "query_id").join(
             pairs.select("doc_key", "term", "tf"), ["doc_key", "term"], "left"
         ).fillna({"tf": 0})
+        if model == "ql_dirichlet":
+            per_term = ql_dirichlet_term_score(F.col("tf"), F.col("doc_len"), bg, mu)
+        elif model == "ql_jm":
+            per_term = ql_jm_term_score(F.col("tf"), F.col("doc_len"), bg, jm_alpha)
+        else:
+            per_term = ql_laplace_term_score(F.col("tf"), F.col("doc_len"))
         scored = (
             expanded.withColumn(
-                "term_score",
-                F.col("qtf").cast("double")
-                * ql_dirichlet_term_score(F.col("tf"), F.col("doc_len"), bg, mu),
+                "term_score", F.col("qtf").cast("double") * per_term
             )
             .groupBy("query_id", "doc_key")
             .agg(F.sum("term_score").alias("score"))
