@@ -354,6 +354,89 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASES = [("P1", ["hash", "join"]), ("P2", ["customer", "order"]), ("P3", ["the", "dup"])]
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trie-semantics phrase occurrence counts (TokenOrPhrase path)."""
+    from simplir_spark.operators.phrase import phrase_match_scan
+
+    res = phrase_match_scan(_corpus(spark, sf_dir), PHRASES)
+    return res.select("phrase_id", F.col("doc_key").alias("doc_id"), "tf")
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic synthetic assessors
+    (A: doc_len parity, B: n_chars parity) — Agreement.hs port."""
+    from simplir_spark.operators.agreement import cohen_kappa
+
+    tok = _tokenized_docs(spark, sf_dir)
+    a = tok.select(
+        F.col("doc_id").alias("item"),
+        F.when(F.col("doc_len") % 2 == 0, "y").otherwise("n").alias("label"),
+    )
+    b = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("item"),
+        F.when(F.length("text") % 2 == 0, "y").otherwise("n").alias("label"),
+    )
+    r = cohen_kappa(a, b)
+    return r.select(
+        "n_items", F.round("po", DP).alias("po"), F.round("pe", DP).alias("pe"),
+        F.round("kappa", DP).alias("kappa"),
+    )
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over three deterministic synthetic raters."""
+    from simplir_spark.operators.agreement import fleiss_kappa
+
+    tok = _tokenized_docs(spark, sf_dir).join(
+        _documents(spark, sf_dir).select("doc_id", F.length("text").alias("n_chars")),
+        "doc_id",
+    )
+    votes = None
+    for expr in (F.col("doc_len") % 3, F.col("n_chars") % 3, F.col("doc_id") % 3):
+        v = tok.select(F.col("doc_id").alias("item"), expr.cast("string").alias("label"))
+        votes = v if votes is None else votes.unionByName(v)
+    r = fleiss_kappa(votes)
+    return r.select(
+        "n_items", "n_raters", F.round("p_bar", DP).alias("p_bar"),
+        F.round("p_e", DP).alias("p_e"), F.round("kappa", DP).alias("kappa"),
+    )
+
+
+def q_l2r_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate-ascent L2R over (bm25, tfidf, doc_len) features with the
+    deterministic contains-all-terms qrels.  Iterative MAP maximization is
+    not SQL-expressible -> rows-only checked; behavior is asserted in
+    tests/test_phrase_ltr_agreement.py."""
+    from simplir_spark.operators.ltr import coordinate_ascent
+
+    run, qrels = _run_and_qrels(spark, sf_dir)
+    bm25 = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP).select(
+        F.col("query_id").alias("qid"), F.col("doc_key").cast("string").alias("doc"),
+        F.col("score").alias("f_bm25"),
+    )
+    tfidf = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, model="tfidf", round_dp=DP).select(
+        F.col("query_id").alias("qid"), F.col("doc_key").cast("string").alias("doc"),
+        F.col("score").alias("f_tfidf"),
+    )
+    dl = _tokenized_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc"), F.col("doc_len").cast("double").alias("f_dl")
+    )
+    features = (
+        bm25.join(tfidf, ["qid", "doc"], "outer")
+        .join(dl, "doc", "left")
+        .fillna(0.0)
+        .select("qid", "doc", F.array("f_bm25", "f_tfidf", "f_dl").alias("features"))
+    )
+    w, m = coordinate_ascent(spark, features, qrels, n_features=3, n_iters=1)
+    return spark.createDataFrame(
+        [(i, round(float(x), DP), round(m, DP)) for i, x in enumerate(w)],
+        "feature_ix int, weight double, map double",
+    )
+
+
 def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = with_tokens(_corpus(spark, sf_dir))
     bucket = F.least(F.floor(F.col("doc_len") / 10), F.lit(20)).cast("long")
@@ -397,6 +480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "phrase_match": q_phrase_match,
+        "cohen_kappa": q_cohen_kappa,
+        "fleiss_kappa": q_fleiss_kappa,
+        "l2r_weights": q_l2r_weights,
     }
 
 
@@ -921,6 +1008,65 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT d.doc_id, coalesce(fp.fingerprints, CAST([] AS BIGINT[])) AS fingerprints
     FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+    """
+
+    phrase_vals = ", ".join(f"('{pid}', '{p[0]}', '{p[1]}')" for pid, p in PHRASES)
+    sql["phrase_match"] = f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 2) AS toks
+      FROM documents
+    ),
+    p(phrase_id, t1, t2) AS (VALUES {phrase_vals})
+    SELECT p.phrase_id, tk.doc_id, count(*) AS tf
+    FROM tk, unnest(generate_series(1, len(toks) - 1)) AS g(i), p
+    WHERE toks[i] = p.t1 AND toks[i+1] = p.t2
+    GROUP BY p.phrase_id, tk.doc_id
+    """
+
+    sql["cohen_kappa"] = f"""
+    WITH {_TOK},
+    j AS (
+      SELECT dl0.doc_id,
+             CASE WHEN dl0.dl % 2 = 0 THEN 'y' ELSE 'n' END AS la,
+             CASE WHEN length(d.text) % 2 = 0 THEN 'y' ELSE 'n' END AS lb
+      FROM doclen dl0 JOIN documents d ON d.doc_id = dl0.doc_id
+    ),
+    nn AS (SELECT count(*) AS n FROM j),
+    po_t AS (SELECT sum(CASE WHEN la = lb THEN 1 ELSE 0 END) / (SELECT n FROM nn) AS po FROM j),
+    ma AS (SELECT la AS k, count(*) / (SELECT n FROM nn) AS pa FROM j GROUP BY la),
+    mb AS (SELECT lb AS k, count(*) / (SELECT n FROM nn) AS pb FROM j GROUP BY lb),
+    pe_t AS (
+      SELECT sum(coalesce(pa, 0) * coalesce(pb, 0)) AS pe
+      FROM ma FULL JOIN mb USING (k)
+    )
+    SELECT (SELECT n FROM nn) AS n_items,
+           round(po, 6) AS po, round(pe, 6) AS pe,
+           round((po - pe) / (1 - pe), 6) AS kappa
+    FROM po_t, pe_t
+    """
+
+    sql["fleiss_kappa"] = f"""
+    WITH {_TOK},
+    votes AS (
+      SELECT doc_id AS item, CAST(dl % 3 AS VARCHAR) AS label FROM doclen
+      UNION ALL
+      SELECT doc_id, CAST(length(text) % 3 AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) FROM documents
+    ),
+    counts AS (SELECT item, label, count(*) AS nij FROM votes GROUP BY 1, 2),
+    per_item AS (SELECT item, sum(nij) AS n, sum(nij * nij) AS sq FROM counts GROUP BY item),
+    agg AS (
+      SELECT count(*) AS n_items, max(n) AS n_raters,
+             avg((sq - n) / (n * (n - 1.0))) AS p_bar
+      FROM per_item
+    ),
+    tot AS (SELECT count(*) AS t FROM votes),
+    pj AS (SELECT label, count(*) / (SELECT t FROM tot) AS p FROM votes GROUP BY label),
+    pe AS (SELECT sum(p * p) AS p_e FROM pj)
+    SELECT n_items, n_raters, round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+           round((p_bar - p_e) / (1 - p_e), 6) AS kappa
+    FROM agg, pe
     """
 
     sql["trec_run"] = f"""

@@ -1,0 +1,102 @@
+"""Learning-to-rank: coordinate ascent over feature weights maximizing MAP
+— re-expression of simplir-learning-to-rank
+(`SimplIR.LearningToRank.coordAscent`, LearningToRank.hs:157-316).
+
+The reference line-searches one coordinate at a time over in-memory
+feature vectors, evaluating MAP per candidate step.  Spark shape: the
+feature table stays distributed and cached; ALL candidate steps of one
+coordinate are evaluated in a single job (broadcast the candidate weight
+vectors, crossJoin, score = w·f, window-rank per (candidate, query), AP,
+MAP per candidate) — the multi-query-one-pass trick of the reference's
+`traverse queryFold` (Search.hs:262-264) applied to the step search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# multiplicative/additive step grid per coordinate (the reference searches
+# steps of both signs at several magnitudes, LearningToRank.hs:229-258)
+DEFAULT_STEPS = [-2.0, -1.0, -0.5, -0.1, 0.1, 0.5, 1.0, 2.0]
+
+
+def weighted_map(features: DataFrame, qrels: DataFrame, weights: list[float]) -> float:
+    """MAP of ranking by w·f — one evaluation (test/diagnostic helper)."""
+    out = _eval_candidates(features, qrels, {0: weights})
+    return out.get(0, 0.0)
+
+
+def _eval_candidates(
+    features: DataFrame, qrels: DataFrame, candidates: dict[int, list[float]]
+) -> dict[int, float]:
+    """MAP per candidate weight vector, all candidates in one job."""
+    spark = features.sparkSession
+    cand_rows = [(cid, [float(x) for x in w]) for cid, w in candidates.items()]
+    cand = spark.createDataFrame(cand_rows, "cand_id int, w array<double>")
+
+    rel = qrels.filter(F.col("relevance") > 0).select("qid", "doc", F.lit(1).alias("_rel"))
+    totals = rel.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+
+    scored = features.crossJoin(F.broadcast(cand)).select(
+        "cand_id", "qid", "doc",
+        F.aggregate(
+            F.zip_with("features", "w", lambda f, w: f * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w_rank = Window.partitionBy("cand_id", "qid").orderBy(F.desc("score"), F.col("doc"))
+    ranked = scored.withColumn("rank", F.row_number().over(w_rank))
+    joined = ranked.join(F.broadcast(rel), ["qid", "doc"], "left").withColumn(
+        "is_rel", F.coalesce(F.col("_rel"), F.lit(0))
+    )
+    w_cum = Window.partitionBy("cand_id", "qid").orderBy("rank")
+    prec = F.sum("is_rel").over(w_cum) / F.col("rank")
+    ap = (
+        joined.withColumn("contrib", F.col("is_rel") * prec)
+        .groupBy("cand_id", "qid")
+        .agg(F.sum("contrib").alias("sum_prec"))
+        .join(F.broadcast(totals), "qid")
+        .withColumn("ap", F.col("sum_prec") / F.col("n_rel"))
+    )
+    rows = ap.groupBy("cand_id").agg(F.avg("ap").alias("map")).collect()
+    return {int(r["cand_id"]): float(r["map"]) for r in rows}
+
+
+def coordinate_ascent(
+    spark: SparkSession,
+    features: DataFrame,
+    qrels: DataFrame,
+    n_features: int,
+    n_iters: int = 2,
+    steps: list[float] | None = None,
+    init: list[float] | None = None,
+) -> tuple[list[float], float]:
+    """Learn weights maximizing MAP.
+
+    features: (qid string, doc string, features array<double>);
+    qrels: (qid, doc, relevance).  Returns (weights, map).  Deterministic:
+    fixed step grid, coordinates in order, strict-improvement acceptance.
+    """
+    steps = steps or DEFAULT_STEPS
+    w = list(init) if init is not None else [1.0] * n_features
+    features = features.cache()
+    best_map = weighted_map(features, qrels, w)
+    for _ in range(n_iters):
+        improved = False
+        for j in range(n_features):
+            cands: dict[int, list[float]] = {}
+            for si, s in enumerate(steps):
+                cw = list(w)
+                cw[j] = w[j] + s * (abs(w[j]) if w[j] != 0 else 1.0)
+                cands[si] = cw
+            scores = _eval_candidates(features, qrels, cands)
+            si_best = max(sorted(scores), key=lambda k: scores[k])
+            if scores[si_best] > best_map + 1e-12:
+                w = cands[si_best]
+                best_map = scores[si_best]
+                improved = True
+        if not improved:
+            break
+    return w, best_map

@@ -1,0 +1,145 @@
+"""Phrase matching — the TokenOrPhrase/trie path of the reference
+(`Phrase [a]` Types.hs:212-225; trie match over the normalized token
+stream, simplir-trec-streaming/Streaming.hs:472-480 + Data/Trie.hs:128-154).
+
+Reference semantics: the trie walks the FILTERED normalized-term sequence,
+so a phrase matches terms that are consecutive in the surviving sequence
+(killed/short tokens do not break adjacency — `findPhrases` feeds the trie
+list-consecutive tokens regardless of tokenN gaps).
+
+Two implementations:
+
+* ``phrase_match_scan`` — one pass over the corpus (EP1 shape): an Arrow
+  kernel slides each phrase over the per-doc term sequence, vectorized
+  per batch.  Semantics exactly mirror the trie walk.
+* ``phrase_match_positional`` — over a positional index (payload `p` =
+  positions, Types.hs:139-158): per-term position lists are decoded from
+  posting runs and intersected with +1 shifts.  Positions are raw tokenN
+  (Position.tokenN, Tokenise.hs:46-82), so adjacency here is RAW-token
+  adjacency — stricter than the trie walk when filtered tokens sit inside
+  the phrase; the right semantics for exact code-token sequences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplir_spark.functions import codec
+from simplir_spark.operators.index_build import IndexHandle
+
+
+def phrase_match_scan(
+    corpus: DataFrame,
+    phrases: list[tuple[str, list[str]]],
+    id_col: str = "doc_key",
+) -> DataFrame:
+    """(phrase_id, doc, tf) for every doc where the phrase occurs.
+
+    ``phrases``: (phrase_id, [normalized terms]).  Returns one row per
+    (phrase_id, doc) with the occurrence count — the phrase-tf the
+    reference accumulates per query node (Streaming.hs:452-455).
+    """
+    from simplir_spark.functions.tokenize import with_tokens
+
+    tokenized = with_tokens(corpus).select(id_col, "terms")
+    plist = [(pid, list(terms)) for pid, terms in phrases]
+
+    def kernel(batches):
+        for pdf in batches:
+            ids_out, pid_out, tf_out = [], [], []
+            for doc_id, terms in zip(pdf[id_col], pdf["terms"]):
+                if terms is None or len(terms) == 0:
+                    continue
+                arr = np.asarray(terms, dtype=object)
+                n = len(arr)
+                for pid, p in plist:
+                    m = len(p)
+                    if m == 0 or m > n:
+                        continue
+                    # vectorized sliding equality over the term sequence
+                    hit = arr[: n - m + 1] == p[0]
+                    for j in range(1, m):
+                        hit = hit & (arr[j : n - m + 1 + j] == p[j])
+                    tf = int(hit.sum())
+                    if tf:
+                        ids_out.append(doc_id)
+                        pid_out.append(pid)
+                        tf_out.append(tf)
+            yield pd.DataFrame(
+                {"phrase_id": pid_out, id_col: ids_out, "tf": np.asarray(tf_out, dtype=np.int64)}
+            )
+
+    id_type = tokenized.schema[id_col].dataType.simpleString()
+    return tokenized.mapInPandas(kernel, f"phrase_id string, {id_col} {id_type}, tf long")
+
+
+def phrase_match_positional(
+    spark: SparkSession,
+    index: IndexHandle,
+    phrases: list[tuple[str, list[str]]],
+) -> DataFrame:
+    """(phrase_id, did, tf) via the positional index: decode each phrase
+    term's runs, group by did, intersect position lists with +1 shifts.
+
+    Plan: postings scan pruned to the phrase terms (parquet pushdown) →
+    per-(phrase, did-range-shard) applyInPandas intersection.  Adjacency is
+    in raw tokenN space (see module docstring).
+    """
+    terms_needed = sorted({t for _, p in phrases for t in p})
+    post = index.postings.filter(F.col("term").isin(terms_needed))
+    if "pos" not in post.columns:
+        raise ValueError("index was not built with_positions=True")
+
+    rows = [(pid, t, j) for pid, p in phrases for j, t in enumerate(p)]
+    pdf_phrases = spark.createDataFrame(rows, "phrase_id string, term string, term_ix int")
+    matched = post.join(F.broadcast(pdf_phrases), "term").select(
+        "phrase_id", "term_ix", "term", "start_did", "n", "deltas", "tfs", "dls", "pos"
+    )
+    phrase_len = {pid: len(p) for pid, p in phrases}
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = pdf["phrase_id"].iloc[0]
+        m = phrase_len[pid]
+        # positions per (term_ix, did): dict did -> list of position arrays
+        per_ix: list[dict[int, np.ndarray]] = [dict() for _ in range(m)]
+        for row in pdf.itertuples(index=False):
+            dids, tfs, _ = codec.decode_run(
+                row.start_did, row.n, bytes(row.deltas), bytes(row.tfs), bytes(row.dls)
+            )
+            plists = codec.decode_positions(bytes(row.pos), tfs)
+            d = per_ix[row.term_ix]
+            for did, pl in zip(dids.tolist(), plists):
+                prev = d.get(did)
+                d[did] = np.concatenate([prev, pl]) if prev is not None else np.asarray(pl)
+        out_did, out_tf = [], []
+        first = per_ix[0]
+        for did, p0 in first.items():
+            cand = np.sort(p0)
+            ok = True
+            for j in range(1, m):
+                nxt = per_ix[j].get(did)
+                if nxt is None:
+                    ok = False
+                    break
+                nxt = np.sort(nxt)
+                cand = cand[np.isin(cand + 1, nxt)] + 1
+                if len(cand) == 0:
+                    ok = False
+                    break
+            if ok and len(cand):
+                out_did.append(did)
+                out_tf.append(len(cand))
+        return pd.DataFrame(
+            {
+                "phrase_id": pid,
+                "did": np.asarray(out_did, dtype=np.int64),
+                "tf": np.asarray(out_tf, dtype=np.int64),
+            }
+        )
+
+    return matched.groupBy("phrase_id").applyInPandas(
+        score_group, "phrase_id string, did long, tf long"
+    )

@@ -1,0 +1,192 @@
+"""Phrase matching (TokenOrPhrase trie semantics), coordinate-ascent L2R,
+and inter-annotator agreement (Agreement.hs ports)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Phrase matching
+# ---------------------------------------------------------------------------
+
+
+def _oracle_phrase_tf(terms: list[str], phrase: list[str]) -> int:
+    m = len(phrase)
+    return sum(1 for i in range(len(terms) - m + 1) if terms[i : i + m] == phrase)
+
+
+def test_phrase_match_scan_vs_oracle(spark):
+    from simplir_spark.functions.tokenize import tokenize_text
+    from simplir_spark.operators.phrase import phrase_match_scan
+
+    rows = [
+        (1, "alpha beta gamma alpha beta"),
+        (2, "alpha 12 beta gamma"),        # killed '12' does NOT break adjacency
+        (3, "beta alpha"),
+        (4, "alpha beta alpha beta alpha beta"),
+        (5, ""),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_key long, content string")
+    phrases = [("P1", ["alpha", "beta"]), ("P2", ["beta", "gamma"]), ("P3", ["gamma", "zzz"])]
+    got = {
+        (r.phrase_id, r.doc_key): r.tf
+        for r in phrase_match_scan(corpus, phrases).collect()
+    }
+    want = {}
+    for did, text in rows:
+        terms, _ = tokenize_text(text)
+        for pid, p in phrases:
+            tf = _oracle_phrase_tf(terms, p)
+            if tf:
+                want[(pid, did)] = tf
+    assert got == want
+    # the trie walks the FILTERED sequence: doc 2 matches "alpha beta"
+    assert got[("P1", 2)] == 1
+
+
+def test_phrase_match_positional_raw_adjacency(spark, tmp_path_factory):
+    from simplir_spark.operators.index_build import build_index, open_index
+    from simplir_spark.operators.phrase import phrase_match_positional
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha 12 beta"),     # raw positions 0,2 -> NOT adjacent here
+        (3, "beta gamma alpha beta"),
+        (4, "gamma gamma gamma"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_key long, content string")
+    out = str(tmp_path_factory.mktemp("phraseidx") / "idx")
+    build_index(spark, corpus, out, n_partitions=2, run_size=8, with_positions=True)
+    idx = open_index(spark, out)
+    res = phrase_match_positional(spark, idx, [("P1", ["alpha", "beta"]), ("P2", ["gamma", "gamma"])])
+    got = {(r.phrase_id, r.did): r.tf for r in res.collect()}
+    # did order = doc_key order: doc_key 1..4 -> did 0..3
+    assert got == {("P1", 0): 1, ("P1", 2): 1, ("P2", 3): 2}
+
+
+def test_phrase_scan_on_testdata(spark):
+    """Smoke over real testdata: any 2-gram that appears must be found."""
+    from simplir_spark.functions.tokenize import tokenize_text, with_tokens
+    from simplir_spark.operators.phrase import phrase_match_scan
+    from simplir_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, SF).limit(50)
+    texts = {r.doc_key: r.content for r in corpus.collect()}
+    # pick the first doc with >= 2 terms, use its first 2-gram
+    phrase = None
+    for k in sorted(texts):
+        t, _ = tokenize_text(texts[k])
+        if len(t) >= 2:
+            phrase = [t[0], t[1]]
+            break
+    assert phrase is not None
+    got = {r.doc_key: r.tf for r in phrase_match_scan(corpus, [("P", phrase)]).collect()}
+    want = {}
+    for k, text in texts.items():
+        t, _ = tokenize_text(text)
+        tf = _oracle_phrase_tf(t, phrase)
+        if tf:
+            want[k] = tf
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Coordinate-ascent L2R
+# ---------------------------------------------------------------------------
+
+
+def test_coordinate_ascent_learns_informative_feature(spark):
+    """Feature 0 is noise, feature 1 perfectly separates relevant docs,
+    feature 2 is anti-correlated.  Ascent must upweight f1 (and/or
+    downweight f2) until MAP = 1."""
+    from simplir_spark.operators.ltr import coordinate_ascent, weighted_map
+
+    rows, qrels = [], []
+    for q in range(4):
+        qid = f"q{q}"
+        for d in range(8):
+            doc = f"d{d}"
+            rel = 1 if d < 2 else 0
+            noise = float((d * 7 + q * 3) % 5)          # deterministic "noise"
+            good = 1.0 if rel else 0.0
+            bad = 0.0 if rel else 1.0
+            rows.append((qid, doc, [noise, good, bad]))
+            if rel:
+                qrels.append((qid, doc, 1))
+    features = spark.createDataFrame(rows, "qid string, doc string, features array<double>")
+    qr = spark.createDataFrame(qrels, "qid string, doc string, relevance int")
+
+    m0 = weighted_map(features, qr, [1.0, 1.0, 1.0])
+    w, m = coordinate_ascent(spark, features, qr, n_features=3, n_iters=3)
+    assert m > m0
+    assert m == pytest.approx(1.0, abs=1e-9)
+    # the learned vector reproduces its reported MAP (weights usable as-is)
+    assert weighted_map(features, qr, w) == pytest.approx(m, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Agreement
+# ---------------------------------------------------------------------------
+
+
+def test_cohen_kappa_known_value(spark):
+    """Classic 2x2 example: po=0.7, pA(yes)=0.6/pB(yes)=0.5 ->
+    pe=0.5, kappa=0.4."""
+    from simplir_spark.operators.agreement import cohen_kappa
+
+    # 50 items: a-yes/b-yes 35? construct counts: yy=35? Use the standard
+    # table yy=20, yn=10, ny=5, nn=15 (n=50): po=0.7, pe=0.6*0.5+0.4*0.5=0.5
+    items = []
+    i = 0
+    for (la, lb), c in {("y", "y"): 20, ("y", "n"): 10, ("n", "y"): 5, ("n", "n"): 15}.items():
+        for _ in range(c):
+            items.append((i, la, lb))
+            i += 1
+    a = spark.createDataFrame([(i, la) for i, la, _ in items], "item long, label string")
+    b = spark.createDataFrame([(i, lb) for i, _, lb in items], "item long, label string")
+    r = cohen_kappa(a, b).collect()[0]
+    assert r.n_items == 50
+    assert r.po == pytest.approx(0.7)
+    assert r.pe == pytest.approx(0.5)
+    assert r.kappa == pytest.approx(0.4)
+
+
+def test_cohen_kappa_perfect_and_chance(spark):
+    from simplir_spark.operators.agreement import cohen_kappa
+
+    a = spark.createDataFrame([(i, "x" if i % 2 else "y") for i in range(20)], "item long, label string")
+    r = cohen_kappa(a, a).collect()[0]
+    assert r.kappa == pytest.approx(1.0)
+
+
+def test_fleiss_kappa_wikipedia_example(spark):
+    """Fleiss' worked example (14 raters, 10 items, 5 categories) ->
+    kappa ~= 0.210."""
+    from simplir_spark.operators.agreement import fleiss_kappa
+
+    table = [
+        [0, 0, 0, 0, 14],
+        [0, 2, 6, 4, 2],
+        [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0],
+        [2, 2, 8, 1, 1],
+        [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0],
+        [2, 5, 3, 2, 2],
+        [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+    rows = []
+    for item, counts in enumerate(table):
+        for label, c in enumerate(counts):
+            rows.extend((item, str(label)) for _ in range(c))
+    df = spark.createDataFrame(rows, "item long, label string")
+    r = fleiss_kappa(df).collect()[0]
+    assert r.n_items == 10 and r.n_raters == 14
+    assert r.kappa == pytest.approx(0.2099, abs=2e-3)
