@@ -136,28 +136,47 @@ def bucket_offsets(df: DataFrame, key_col: str, cuts: list[str]) -> dict[int, in
     return offsets
 
 
+def murmur3_int32(x: int, seed: int = 42) -> int:
+    """Murmur3 x86_32 of one little-endian int32 — exactly Spark's
+    ``Murmur3Hash(IntegerType, seed=42)`` (what ``F.hash`` and
+    HashPartitioning compute).  Returns the SIGNED int32 Spark returns.
+    Verified against ``F.hash`` in tests/test_index.py."""
+    m = 0xFFFFFFFF
+    k = x & m
+    k = (k * 0xCC9E2D51) & m
+    k = ((k << 15) | (k >> 17)) & m
+    k = (k * 0x1B873593) & m
+    h = seed & m
+    h ^= k
+    h = ((h << 13) | (h >> 19)) & m
+    h = (h * 5 + 0xE6546B64) & m
+    h ^= 4  # total byte length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
 def probe_shuffle_keys(spark: SparkSession, n_buckets: int, n_partitions: int) -> list[int]:
     """For each bucket b find an int x_b with pmod(murmur3(x_b), P) == b.
 
     ``repartition(P, col)`` places a row in partition
-    pmod(Murmur3Hash(col, seed=42), P) — the same hash ``F.hash`` exposes —
-    so repartitioning on x_bucket maps bucket b exactly to partition b:
-    one shuffle, perfectly aligned bucket->partition placement, no
-    sampling pass.  Correctness never depends on this mapping (the id
-    kernel groups by bucket VALUE); only balance does.
+    pmod(Murmur3Hash(col, seed=42), P), so repartitioning on x_bucket maps
+    bucket b exactly to partition b: one shuffle, perfectly aligned
+    bucket->partition placement, no sampling pass.  Computed driver-side
+    with the pure-Python murmur3 (no Spark job).  Correctness never
+    depends on this mapping (the id kernel groups by bucket VALUE); only
+    balance does.
     """
     found: dict[int, int] = {}
-    lo = 0
+    x = 0
     while len(found) < n_buckets:
-        probe = spark.range(lo, lo + 64 * max(n_partitions, n_buckets)).select(
-            F.col("id").cast("int").alias("x"),
-            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_partitions)).alias("p"),
-        )
-        for r in probe.collect():
-            p = int(r["p"])
-            if p < n_buckets and p not in found:
-                found[p] = int(r["x"])
-        lo += 64 * max(n_partitions, n_buckets)
+        p = murmur3_int32(x) % n_partitions  # python % is already pmod
+        if p < n_buckets and p not in found:
+            found[p] = x
+        x += 1
     return [found[b] for b in range(n_buckets)]
 
 
@@ -269,6 +288,71 @@ def make_run_encoder(run_size: int, with_positions: bool = False):
     return encode
 
 
+def make_partition_run_encoder(run_size: int):
+    """mapInPandas kernel: one tokenized PARTITION -> its encoded posting runs.
+
+    The Spark re-expression of ``collectIndex`` (Build.hs:117-135): each
+    partition is a did-contiguous chunk, so its per-term runs occupy
+    disjoint did ranges across partitions and the final index is just the
+    union of partition runs ordered by (term, start_did) — chunk-level
+    merge exactly as ``DiskIndex.merge`` concatenates chunk posting lists
+    (Posting2/Merge.hs:47-69) without re-encoding.  Only the small encoded
+    runs are shuffled; the exploded (doc, term) rows never leave the
+    partition.
+
+    Memory contract: the partition's exploded postings are held in numpy
+    arrays while encoding — size partitions like the reference sizes its
+    chunks (chunkSize=64000 docs, SimpleIndex.hs:100).
+    """
+    from itertools import chain
+
+    def encode(batches):
+        did_parts, tf_parts, dl_parts, term_parts = [], [], [], []
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            terms_col = pdf["terms"]
+            lens = np.fromiter((len(t) for t in terms_col), dtype=np.int64, count=n)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            term_parts.append(np.fromiter(chain.from_iterable(terms_col), dtype=object, count=total))
+            tf_parts.append(np.fromiter(chain.from_iterable(pdf["tfs"]), dtype=np.int64, count=total))
+            did_parts.append(np.repeat(pdf["did"].to_numpy(np.int64), lens))
+            dl_parts.append(np.repeat(pdf["doc_len"].to_numpy(np.int64), lens))
+        if not did_parts:
+            return
+        terms = np.concatenate(term_parts)
+        tfs = np.concatenate(tf_parts)
+        dids = np.concatenate(did_parts)
+        dls = np.concatenate(dl_parts)
+        codes, uniq = pd.factorize(terms)  # normalized terms are NUL-free
+        uniq = np.asarray(uniq, dtype=object)
+        order = np.lexsort((dids, codes))
+        codes_s, dids_s, tfs_s, dls_s = codes[order], dids[order], tfs[order], dls[order]
+        change = np.nonzero(codes_s[1:] != codes_s[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(codes_s)]))
+        out: list[tuple] = []
+        for s, e in zip(starts, ends):
+            t = uniq[codes_s[s]]
+            for rs in range(s, e, run_size):
+                re_ = min(rs + run_size, e)
+                run = codec.encode_run(dids_s[rs:re_], tfs_s[rs:re_], dls_s[rs:re_])
+                out.append(
+                    (t, run["start_did"], run["end_did"], run["n"], run["max_tf"],
+                     run["sum_tf"], run["deltas"], run["tfs"], run["dls"], None)
+                )
+                if len(out) >= 8192:
+                    yield pd.DataFrame(out, columns=_RUN_COLS)
+                    out = []
+        if out:
+            yield pd.DataFrame(out, columns=_RUN_COLS)
+
+    return encode
+
+
 def term_did_cuts(pairs_sample: list[tuple], n_partitions: int) -> list[tuple]:
     """Range boundaries over (term, did) pairs — (n_partitions-1) cuts."""
     if n_partitions <= 1 or not pairs_sample:
@@ -280,12 +364,12 @@ def term_did_cuts(pairs_sample: list[tuple], n_partitions: int) -> list[tuple]:
     return sorted(set(cuts))
 
 
-def term_did_bucket_expr(cuts: list[tuple]):
+def term_did_bucket_expr(cuts: list[tuple], did_col: str = "did"):
     """bucket = number of cuts <= (term, did), lexicographic — pure expr."""
     if not cuts:
         return F.lit(0)
     arr = F.array([F.struct(F.lit(t).alias("t"), F.lit(int(d)).alias("d")) for t, d in cuts])
-    term, did = F.col("term"), F.col("did")
+    term, did = F.col("term"), F.col(did_col)
     return F.size(
         F.filter(arr, lambda c: (c["t"] < term) | ((c["t"] == term) & (c["d"] <= did)))
     )
@@ -468,16 +552,54 @@ def build_index(
             F.col("_tt.tfs").alias("tf"),
         )
 
-    # repartitionByRange's boundary resample re-runs the pairs plan, but
-    # that plan is a column-pruned read of the tokenized CHECKPOINT plus a
-    # JVM explode — measured cheaper than evaluating explicit boundary
-    # expressions per row (build_postings(sample_pairs=...) is the opt-in
-    # alternative when the pairs input is not a checkpoint).
+    def sample_term_did() -> list[tuple]:
+        # boundary sample for the final term-range layout: explode a small
+        # doc sample (page-cached, column-pruned) — no full-plan resample
+        n_docs = r_tok.rows or tokenized.count()
+        if n_docs == 0:
+            return []
+        frac = min(1.0, max(2000, n_partitions * 100) / n_docs)
+        return [
+            (r["term"], int(r["did"]))
+            for r in tokenized.sample(False, frac, seed=42)
+            .select("did", F.explode("terms").alias("term"))
+            .collect()
+        ]
+
+    def build_runs() -> DataFrame:
+        # tf-only path: encode runs INSIDE each did-contiguous tokenized
+        # partition (collectIndex per chunk, Build.hs:117-135), then
+        # shuffle only the small encoded runs into term-range buckets —
+        # the exploded posting rows never cross the wire.  Boundary cuts
+        # come from the doc sample; a run whose did range spans a cut is
+        # placed by its start_did (bucketing is monotone in the final
+        # (term, start_did) sort key, so global order is preserved).
+        runs = tokenized.select("did", "doc_len", "terms", "tfs").mapInPandas(
+            make_partition_run_encoder(run_size), POSTINGS_SCHEMA
+        )
+        cuts = term_did_cuts(sample_term_did(), n_partitions)
+        if not cuts:
+            return runs.coalesce(1)
+        n_buckets = len(cuts) + 1
+        xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
+        return (
+            runs.withColumn("_b", term_did_bucket_expr(cuts, did_col="start_did"))
+            .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_b") + 1))
+            .repartition(n_buckets, "_xb")
+            .drop("_b", "_xb")
+        )
+
     r_post = runner.run_df_stage(
         "postings",
-        lambda: build_postings(
-            build_pairs(), n_partitions=n_partitions, run_size=run_size,
-            with_positions=with_positions,
+        # positional payloads keep the explode+range-partition path (the
+        # positions column rides along per posting row)
+        lambda: (
+            build_postings(
+                build_pairs(), n_partitions=n_partitions, run_size=run_size,
+                with_positions=True,
+            )
+            if with_positions
+            else build_runs()
         ),
         upstream=["tokenized"],
         sort_within_partitions=["term", "start_did"],

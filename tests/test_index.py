@@ -210,3 +210,22 @@ def test_blockmax_pruning_skips_runs_and_preserves_topk():
     assert d1.tolist() == [int(d) for _, d in top_full]
     np.testing.assert_allclose(s1, [-s for s, _ in top_full], rtol=1e-12)
     assert cnt[0] < cnt[1], f"no pruning happened: {cnt}"
+
+
+def test_murmur3_matches_spark_hash(spark):
+    """probe_shuffle_keys relies on the pure-Python murmur3 equaling
+    Spark's Murmur3Hash (F.hash / HashPartitioning) on int32 inputs."""
+    from simplir_spark.operators.index_build import murmur3_int32, probe_shuffle_keys
+
+    xs = list(range(0, 200)) + [2**31 - 1, -1, -2**31, 123456789]
+    df = spark.createDataFrame([(x,) for x in xs], "x int")
+    got = {r["x"]: r["h"] for r in df.select("x", F.hash("x").alias("h")).collect()}
+    for x in xs:
+        assert murmur3_int32(x) == got[x], x
+    # and the probed keys really land one bucket per partition
+    keys = probe_shuffle_keys(spark, 8, 8)
+    kdf = spark.createDataFrame([(k,) for k in keys], "k int").repartition(8, "k")
+    parts = kdf.select(F.spark_partition_id().alias("p"), "k").collect()
+    placed = {r["k"]: r["p"] for r in parts}
+    assert sorted(placed.values()) == list(range(8))
+    assert [placed[k] for k in keys] == list(range(8))
