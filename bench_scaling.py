@@ -39,7 +39,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REPLICATE = int(os.environ.get("SCALING_REPLICATE", "300"))
+REPLICATE = int(os.environ.get("SCALING_REPLICATE", "1000"))
 
 
 def one_run(cores: int, sf_dir: str, replicate: int, repeats: int = 3) -> dict:
