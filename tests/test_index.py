@@ -229,3 +229,38 @@ def test_murmur3_matches_spark_hash(spark):
     placed = {r["k"]: r["p"] for r in parts}
     assert sorted(placed.values()) == list(range(8))
     assert [placed[k] for k in keys] == list(range(8))
+
+
+def test_partial_resume_rebuilds_only_downstream(spark, corpus_small, tmp_path_factory):
+    """Kill/resume: wipe one stage's output, re-run the build — upstream
+    stages are skipped (same fingerprints), the wiped stage and its
+    dependents are rebuilt, and the index still answers correctly."""
+    import json, os, shutil
+
+    out = str(tmp_path_factory.mktemp("resume") / "idx")
+    build_index(spark, corpus_small, out, n_partitions=4, run_size=64)
+
+    def mtimes():
+        return {
+            n: os.path.getmtime(os.path.join(out, "_lineage", n))
+            for n in os.listdir(os.path.join(out, "_lineage"))
+        }
+
+    before = mtimes()
+    shutil.rmtree(os.path.join(out, "postings"))
+    build_index(spark, corpus_small, out, n_partitions=4, run_size=64)
+    after = mtimes()
+    assert after["tokenized.json"] == before["tokenized.json"]  # skipped
+    assert after["postings.json"] > before["postings.json"]     # rebuilt
+    idx = open_index(spark, out)
+    got = bm25_indexed(spark, idx, QUERIES[:3], k=K)
+    assert got.count() > 0
+
+
+def test_postings_scan_prunes_on_term(spark, index_dir):
+    """The query path's term filter must reach the parquet scan
+    (PushedFilters) — the Spark analog of the reference's term->offset
+    index lookup (TermIndex.hs:26-34)."""
+    idx = open_index(spark, index_dir)
+    plan = idx.postings.filter(F.col("term").isin(["join", "hash"]))._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan
