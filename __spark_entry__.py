@@ -437,6 +437,30 @@ def q_l2r_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.functions.text import token_counts
+
+    return token_counts(_documents(spark, sf_dir))
+
+
+def _emb_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + deterministic planted near-duplicates: each vector gets
+    a component-quantized copy at vec_id+100000 (cos ~ 0.9997 vs originals'
+    max pairwise cos ~ 0.51)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dup = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 2).cast("float")).alias("embedding"),
+    )
+    return emb.unionByName(dup)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.operators.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_emb_with_neardups(spark, sf_dir), threshold=0.9, method="brute")
+
+
 def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = with_tokens(_corpus(spark, sf_dir))
     bucket = F.least(F.floor(F.col("doc_len") / 10), F.lit(20)).cast("long")
@@ -484,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohen_kappa": q_cohen_kappa,
         "fleiss_kappa": q_fleiss_kappa,
         "l2r_weights": q_l2r_weights,
+        "token_counts": q_token_counts,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -1067,6 +1093,30 @@ def oracle_sql() -> dict[str, str]:
     SELECT n_items, n_raters, round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
            round((p_bar - p_e) / (1 - p_e), 6) AS kappa
     FROM agg, pe
+    """
+
+    sql["token_counts"] = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
+    FROM documents
+    """
+
+    sql["embedding_neardup"] = """
+    WITH orig AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    dup AS (
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(v, x -> CAST(CAST(round(x, 2) AS FLOAT) AS DOUBLE)) AS v
+      FROM orig
+    ),
+    allv AS (SELECT * FROM orig UNION ALL SELECT * FROM dup),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM allv)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9
     """
 
     sql["trec_run"] = f"""

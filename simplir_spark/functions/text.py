@@ -152,3 +152,21 @@ def lang_id(df: DataFrame, tokens_col: str = "terms", id_col: str = "doc_id") ->
     return df.select(
         F.col(id_col), r["lang_pred"].alias("lang_pred"), r["lang_score"].alias("lang_score")
     )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace and BPE-ish token counts, entirely JVM-side.
+
+    n_ws    = count of non-whitespace runs;
+    n_bpe   = count of matches of a BPE-style pre-tokenizer pattern
+              (letter runs | digit runs | single non-alnum) — the shape of
+              GPT-2-style pre-tokenization, ASCII classes only so Java
+              regex and RE2 (DuckDB oracle) agree.
+    """
+    ws = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+    bpe = F.regexp_count(F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("n_ws"),
+        bpe.cast("long").alias("n_bpe"),
+    )

@@ -169,3 +169,62 @@ def rp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "brute",
+    n_bits: int = 16,
+    n_bands: int = 4,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    id_a < id_b and cos >= threshold.
+
+    method='brute' compares all pairs (broadcast one normalized side) —
+    exact, the small-N baseline.  method='lsh' generates candidates from
+    shared random-hyperplane buckets then verifies exactly — sub-quadratic
+    at scale, recall < 1 for pairs near the threshold (standard LSH
+    trade-off; tests assert lsh ⊆ brute).
+    """
+    base = with_norm(emb, vec_col).select(F.col(id_col), "_v", "_norm")
+    if method == "lsh":
+        buckets = rp_lsh_buckets(emb, n_bits, n_bands, id_col, vec_col)
+        b2 = buckets.select(
+            F.col(id_col).alias("_idb"), F.col("band"), F.col("bucket")
+        )
+        cand = (
+            buckets.join(b2, ["band", "bucket"])
+            .filter(F.col(id_col) < F.col("_idb"))
+            .select(F.col(id_col).alias("id_a"), F.col("_idb").alias("id_b"))
+            .distinct()
+        )
+    else:
+        right = base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_norm").alias("_nb"),
+        )
+        cand = base.select(F.col(id_col).alias("id_a")).crossJoin(
+            F.broadcast(right.select("id_b"))
+        ).filter(F.col("id_a") < F.col("id_b"))
+    left = base.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    )
+    right = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    joined = cand.join(left, "id_a").join(F.broadcast(right), "id_b")
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("_na") * F.col("_nb"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    return (
+        joined.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -115,3 +115,40 @@ def test_rp_lsh_is_subset_superset_sane(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx}
     x = {(r.query_id, r.neighbor_id) for r in exact}
     assert len(a & x) >= 1
+
+
+def test_cosine_neardup_lsh_subset_of_brute(spark):
+    """LSH near-dup candidates verify exactly: lsh result ⊆ brute result,
+    and planted near-identical pairs are recalled (identical sign sketch)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from simplir_spark.operators.similarity import cosine_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(40):
+        v = rng.randn(16).astype("float32")
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x) for x in v * 1.001]))  # planted dup
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(emb, 0.99, method="brute").collect()}
+    lsh = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(emb, 0.99, method="lsh").collect()}
+    assert lsh <= brute
+    planted = {(i, i + 1000) for i in range(40)}
+    assert planted <= brute
+    # scaled copies share the exact sign sketch -> LSH recalls all of them
+    assert planted <= lsh
+
+
+def test_token_counts_known_values(spark):
+    from simplir_spark.functions.text import token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "foo bar42 baz-qux"), (2, ""), (3, "  a  b  "), (4, "x.y,z")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_ws, r.n_bpe) for r in token_counts(docs).collect()}
+    # doc1: ws=3; bpe: foo,bar,42,baz,-,qux = 6
+    # doc3: ws=2, bpe=2; doc4: x,.,y,,,z = 5
+    assert got == {1: (3, 6), 2: (0, 0), 3: (2, 2), 4: (1, 5)}

@@ -264,3 +264,27 @@ def test_postings_scan_prunes_on_term(spark, index_dir):
     idx = open_index(spark, index_dir)
     plan = idx.postings.filter(F.col("term").isin(["join", "hash"]))._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(term" in plan, plan
+
+
+def test_hot_term_splits_across_partitions(spark, tmp_path_factory):
+    """Skew handling (BASELINE.json): a term whose postings exceed one
+    partition's share is range-split into sub-runs across ADJACENT
+    partition files, each run staying within run_size."""
+    import os
+
+    rows = [(i, "hot " * 5 + f"uniq{i:04d}word") for i in range(2000)]
+    corpus = spark.createDataFrame(rows, "doc_key long, content string")
+    out = str(tmp_path_factory.mktemp("skew") / "idx")
+    build_index(spark, corpus, out, n_partitions=8, run_size=64)
+    idx = open_index(spark, out)
+    hot = idx.postings.filter(F.col("term") == "hot").select(
+        F.input_file_name().alias("f"), "start_did", "end_did", "n"
+    ).collect()
+    assert sum(r.n for r in hot) == 2000
+    assert all(r.n <= 64 for r in hot)
+    files = {r.f for r in hot}
+    assert len(files) > 1, "hot term should span multiple partition files"
+    # runs are globally did-ordered and non-overlapping
+    spans = sorted((r.start_did, r.end_did) for r in hot)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 < s2
