@@ -91,8 +91,19 @@ def score_query_runs(
     decoded = 0
     total = len(runs)
 
+    # dense shard-local accumulator: contiguous [did_lo, did_hi) ranges up
+    # to 4M docs score in O(postings) per term instead of the O(n log n)
+    # unique-merge (the sparse fallback for unbounded ranges)
+    span = (did_hi - did_lo) if (did_lo is not None and did_hi is not None) else None
+    dense = np.zeros(span) if span is not None and 0 < span <= (1 << 22) else None
+    seen = np.zeros(span, dtype=bool) if dense is not None else None
+
     for t in order:
         rest = rest_after[t]
+        if dense is not None:
+            ix = np.nonzero(seen)[0]
+            cand_dids = ix + did_lo
+            cand_scores = dense[ix]
         if len(cand_scores) >= k:
             theta = np.partition(cand_scores, -k)[-k]
         else:
@@ -135,13 +146,23 @@ def score_query_runs(
         if new_dids:
             nd = np.concatenate(new_dids)
             nc = np.concatenate(new_contribs)
-            all_dids = np.concatenate([cand_dids, nd])
-            all_scores = np.concatenate([cand_scores, nc])
-            cand_dids, inv = np.unique(all_dids, return_inverse=True)
-            cand_scores = np.bincount(inv, weights=all_scores)
+            if dense is not None:
+                # O(n) accumulate into the shard-local dense array
+                np.add.at(dense, nd - did_lo, nc)
+                seen[nd - did_lo] = True
+            else:
+                all_dids = np.concatenate([cand_dids, nd])
+                all_scores = np.concatenate([cand_scores, nc])
+                cand_dids, inv = np.unique(all_dids, return_inverse=True)
+                cand_scores = np.bincount(inv, weights=all_scores)
 
     if decode_counter is not None:
         decode_counter[:] = [decoded, total]
+
+    if dense is not None:
+        ix = np.nonzero(seen)[0]
+        cand_dids = ix + did_lo
+        cand_scores = dense[ix]
 
     if len(cand_dids) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
