@@ -461,6 +461,32 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(_emb_with_neardups(spark, sf_dir), threshold=0.9, method="brute")
 
 
+# parametric template: weight + BM25 k1/b resolved per parameter set
+# (Parametric.hs grid evaluation — queries × paramsets in ONE pass)
+DSL_GRID_TEMPLATE = {
+    "type": "sum",
+    "children": [
+        {"type": "scale", "factor": "{{w}}",
+         "child": {"type": "retrieve", "model": "bm25", "terms": ["join", "hash"],
+                   "params": {"k1": "{{k1}}", "b": "{{b}}"}}},
+        {"type": "retrieve", "model": "tfidf", "terms": ["merge"]},
+    ],
+}
+DSL_PARAMSETS = {
+    "setA": {"w": 2.0, "k1": 1.1, "b": 0.4},
+    "setB": {"w": 0.5, "k1": 1.6, "b": 0.75},
+}
+
+
+def q_query_dsl_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplir_spark.plans.query_dsl import compile_query_grid
+
+    res = compile_query_grid(
+        spark, _corpus(spark, sf_dir), DSL_GRID_TEMPLATE, DSL_PARAMSETS, k=K, round_dp=DP
+    )
+    return res.withColumnRenamed("doc_key", "doc_id")
+
+
 def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = with_tokens(_corpus(spark, sf_dir))
     bucket = F.least(F.floor(F.col("doc_len") / 10), F.lit(20)).cast("long")
@@ -510,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2r_weights": q_l2r_weights,
         "token_counts": q_token_counts,
         "embedding_neardup": q_embedding_neardup,
+        "query_dsl_grid": q_query_dsl_grid,
     }
 
 
@@ -1093,6 +1120,39 @@ def oracle_sql() -> dict[str, str]:
     SELECT n_items, n_raters, round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
            round((p_bar - p_e) / (1 - p_e), 6) AS kappa
     FROM agg, pe
+    """
+
+    grid_selects = []
+    for name, ps in sorted(DSL_PARAMSETS.items()):
+        w_, k1_, b_ = ps["w"], ps["k1"], ps["b"]
+        grid_selects.append(f"""
+    SELECT '{name}' AS param_set, doc_id,
+      round({w_!r} * leaf0_{name} + leaf1_{name} + 0.0, 6) AS score
+    FROM (
+      SELECT tf.doc_id,
+        sum(CASE WHEN term IN ('hash', 'join') THEN
+          ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * {k1_ + 1.0!r}
+          / (tf.tf + {k1_!r} * (1.0 - {b_!r} + {b_!r} * dl.dl / (s.tok_cnt / s.n)))
+          ELSE 0.0 END) AS leaf0_{name},
+        sum(CASE WHEN term IN ('merge') THEN tf.tf * ln(s.n / (1.0 + df.df)) ELSE 0.0 END) AS leaf1_{name}
+      FROM tf
+      JOIN df USING (term)
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      WHERE term IN ('hash', 'join', 'merge')
+      GROUP BY tf.doc_id
+    )""")
+    grid_union = " UNION ALL ".join(grid_selects)
+    sql["query_dsl_grid"] = f"""
+    WITH {_TOK},
+    allscored AS ({grid_union}),
+    ranked AS (
+      SELECT param_set, doc_id,
+             CAST(row_number() OVER (PARTITION BY param_set ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+             score
+      FROM allscored
+    )
+    SELECT param_set, doc_id, rank, score FROM ranked WHERE rank <= {K}
     """
 
     sql["token_counts"] = r"""

@@ -178,3 +178,106 @@ def compile_query(
     topk = scored.orderBy(F.desc("score"), F.col("doc_key")).limit(k)
     w = Window.orderBy(F.desc("score"), F.col("doc_key"))
     return topk.withColumn("rank", F.row_number().over(w)).select("doc_key", "rank", "score")
+
+
+def compile_query_grid(
+    spark: SparkSession,
+    corpus: DataFrame,
+    query_template: dict,
+    paramsets: dict[str, dict[str, Any]],
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Evaluate one parametric QueryNode template under MANY parameter
+    settings in a single corpus pass -> (param_set, doc_key, rank, score).
+
+    The reference's grid evaluation: `queriesFold = sequenceA (M.fromList
+    [((qid, paramset), queryFold …)])` scores the queries × parameter-sets
+    cross product in one streaming pass (Streaming.hs:432-438,
+    Parametric.hs:43-56).  Spark shape: every resolved tree's leaves
+    become conditional-aggregation columns of ONE groupBy(doc), per-set
+    score expressions are stacked with ``explode``, and the per-set top-k
+    is a single window.
+    """
+    resolved = {name: resolve_params(query_template, ps) for name, ps in sorted(paramsets.items())}
+    per_set_leaves: dict[str, list[dict]] = {}
+    preds: list[list[str]] = []
+    for name, tree in resolved.items():
+        leaves: list[dict] = []
+        _collect(tree, leaves, preds)
+        per_set_leaves[name] = leaves
+    # dedupe predicate sets (same template -> same predicates per set)
+    preds = [list(p) for p in sorted({tuple(p) for p in preds})]
+
+    all_terms = sorted(
+        {t for lv in per_set_leaves.values() for lf in lv for t in lf["terms"]}
+        | {t for pr in preds for t in pr}
+    )
+
+    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len", "doc_len_alnum")
+    cs = corpus_stats(tokenized).collect()[0]
+    doc_count, token_count = cs.doc_count, cs.token_count
+    avg_doc_len = token_count / doc_count if doc_count else 1.0
+
+    pairs = doc_term_tfs(tokenized)
+    matched = pairs.filter(F.col("term").isin(all_terms))
+    ts = term_stats(matched)
+    rows = matched.join(F.broadcast(ts), "term")
+
+    aggs: list[Column] = []
+    for name, leaves in per_set_leaves.items():
+        for i, lf in enumerate(leaves):
+            terms = sorted(set(lf["terms"]))
+            score = _leaf_term_score(lf, doc_count, avg_doc_len, token_count)
+            aggs.append(
+                F.sum(F.when(F.col("term").isin(terms), score).otherwise(F.lit(0.0)))
+                .alias(f"_{name}_leaf{i}")
+            )
+    for j, pr in enumerate(preds):
+        aggs.append(
+            F.count_distinct(F.when(F.col("term").isin(pr), F.col("term"))).alias(f"_pred{j}")
+        )
+    per_doc = rows.groupBy("doc_key").agg(*aggs)
+
+    pred_ix = {tuple(pr): j for j, pr in enumerate(preds)}
+
+    def build(node: dict, prefix: str, leaf_iter) -> Column:
+        t = node["type"]
+        if t == "const":
+            return F.lit(float(node["value"]))
+        if t in ("sum", "product"):
+            cols = [build(c, prefix, leaf_iter) for c in node["children"]]
+            out = cols[0]
+            for c in cols[1:]:
+                out = (out + c) if t == "sum" else (out * c)
+            return out
+        if t == "scale":
+            return F.lit(float(node["factor"])) * build(node["child"], prefix, leaf_iter)
+        if t == "retrieve":
+            return F.col(f"_{prefix}_leaf{next(leaf_iter)}")
+        if t == "cond":
+            pr = tuple(sorted(set(node["predicate_terms"])))
+            have_all = F.col(f"_pred{pred_ix[pr]}") == len(pr)
+            if node.get("negated", False):
+                have_all = ~have_all
+            return F.when(have_all, build(node["then"], prefix, leaf_iter)).otherwise(
+                build(node["else"], prefix, leaf_iter)
+            )
+        raise ValueError(t)
+
+    structs = []
+    for name, tree in resolved.items():
+        sc = build(tree, name, iter(range(len(per_set_leaves[name]))))
+        if round_dp is not None:
+            sc = F.round(sc, round_dp)
+        structs.append(F.struct(F.lit(name).alias("param_set"), sc.alias("score")))
+    stacked = per_doc.select(
+        "doc_key", F.explode(F.array(*structs)).alias("_ps")
+    ).select("doc_key", F.col("_ps.param_set").alias("param_set"), F.col("_ps.score").alias("score"))
+
+    w = Window.partitionBy("param_set").orderBy(F.desc("score"), F.col("doc_key"))
+    return (
+        stacked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("param_set", "doc_key", "rank", "score")
+    )
