@@ -529,27 +529,18 @@ def build_index(
     tokenized = spark.read.parquet(r_tok.output)
 
     def build_pairs() -> DataFrame:
-        # (did, doc_len, term, tf) from the checkpoint.  JVM-side explode
-        # of the pre-aggregated per-doc (terms, tfs) arrays — cheap enough
-        # that the range partitioner's sampling pass just re-runs it off
-        # page-cached parquet (no pairs checkpoint needed).
-        if with_positions:
-            from simplir_spark.functions.tokenize import term_tf_positions_udf
+        # positional path only: (did, doc_len, term, tf, positions) from
+        # the checkpoint (the tf-only path encodes runs per partition and
+        # never materializes pair rows — see build_runs)
+        from simplir_spark.functions.tokenize import term_tf_positions_udf
 
-            return tokenized.withColumn(
-                "_tt", F.explode(term_tf_positions_udf("terms", "positions"))
-            ).select(
-                "did", "doc_len",
-                F.col("_tt.term").alias("term"),
-                F.col("_tt.tf").alias("tf"),
-                F.col("_tt.positions").alias("positions"),
-            )
-        return tokenized.select(
-            "did", "doc_len", F.explode(F.arrays_zip("terms", "tfs")).alias("_tt")
+        return tokenized.withColumn(
+            "_tt", F.explode(term_tf_positions_udf("terms", "positions"))
         ).select(
             "did", "doc_len",
-            F.col("_tt.terms").alias("term"),
-            F.col("_tt.tfs").alias("tf"),
+            F.col("_tt.term").alias("term"),
+            F.col("_tt.tf").alias("tf"),
+            F.col("_tt.positions").alias("positions"),
         )
 
     def sample_term_did() -> list[tuple]:

@@ -288,3 +288,12 @@ def test_hot_term_splits_across_partitions(spark, tmp_path_factory):
     spans = sorted((r.start_did, r.end_did) for r in hot)
     for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
         assert e1 < s2
+
+
+def test_build_empty_corpus(spark, tmp_path_factory):
+    corpus = spark.createDataFrame([], "doc_key string, content string")
+    out = str(tmp_path_factory.mktemp("empty") / "idx")
+    build_index(spark, corpus, out, n_partitions=4)
+    idx = open_index(spark, out)
+    assert idx.doc_count == 0 and idx.postings.count() == 0
+    assert bm25_indexed(spark, idx, QUERIES[:2], k=5).count() == 0
