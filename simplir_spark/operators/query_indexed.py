@@ -197,7 +197,11 @@ def bm25_indexed(
     doc_count, avg_doc_len = index.doc_count, index.avg_doc_len
     if n_shards is None:
         par = spark.sparkContext.defaultParallelism
-        n_shards = max(1, (2 * par) // max(1, len(queries)))
+        n_shards = max(
+            1,
+            (2 * par) // max(1, len(queries)),
+            -(-doc_count // (1 << 22)),  # keep shard spans dense-accumulator-sized
+        )
     span = max(1, -(-max(1, doc_count) // n_shards))  # ceil
 
     q_terms = sorted({t for _, terms in queries for t in terms})
