@@ -1157,8 +1157,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["token_counts"] = r"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
+           CAST(len(regexp_extract_all(text, '[^ \t\r\n\f\x0B]+')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\r\n\f\x0B]')) AS BIGINT) AS n_bpe
     FROM documents
     """
 

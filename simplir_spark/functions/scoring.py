@@ -69,11 +69,16 @@ def ql_dirichlet_term_score(
 
 def ql_jm_term_score(tf: Column, doc_len: Column, bg_prob: Column, alpha: float = 0.5) -> Column:
     """Jelinek-Mercer (QueryLikelihood.hs:63-67):
-    log(alpha*tf/len + (1-alpha)*P(t))."""
-    return F.log(
+    log(alpha*tf/len + (1-alpha)*P(t)).
+
+    A term absent from both document and corpus has probability 0; like
+    the Dirichlet variant, pin to -inf (the reference's `Log Double` zero)
+    instead of letting F.log return NULL and silently drop the term."""
+    inner = (
         F.lit(alpha) * tf.cast("double") / doc_len.cast("double")
         + F.lit(1.0 - alpha) * bg_prob
     )
+    return F.when(inner > 0, F.log(inner)).otherwise(F.lit(float("-inf")))
 
 
 def ql_laplace_term_score(tf: Column, doc_len: Column) -> Column:

@@ -160,11 +160,13 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     n_ws    = count of non-whitespace runs;
     n_bpe   = count of matches of a BPE-style pre-tokenizer pattern
               (letter runs | digit runs | single non-alnum) — the shape of
-              GPT-2-style pre-tokenization, ASCII classes only so Java
-              regex and RE2 (DuckDB oracle) agree.
+              GPT-2-style pre-tokenization.  Whitespace is an EXPLICIT
+              ASCII class (Java's \\s includes \\x0B, RE2's does not) so
+              Java regex and the DuckDB-oracle RE2 agree byte-for-byte.
     """
-    ws = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
-    bpe = F.regexp_count(F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+    ws_class = " \\t\\r\\n\\f\\x0B"
+    ws = F.regexp_count(F.col(text_col), F.lit(f"[^{ws_class}]+"))
+    bpe = F.regexp_count(F.col(text_col), F.lit(f"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{ws_class}]"))
     return docs.select(
         F.col(id_col),
         ws.cast("long").alias("n_ws"),

@@ -37,6 +37,7 @@ def cohen_kappa(a: DataFrame, b: DataFrame, item_col: str = "item", label_col: s
     mb = {r["_lb"]: r["c"] for r in j.groupBy("_lb").agg(F.count(F.lit(1)).alias("c")).collect()}
     pe = sum((ma.get(k, 0) / n) * (mb.get(k, 0) / n) for k in set(ma) | set(mb))
     kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else 1.0
+    j.unpersist()
     spark = a.sparkSession
     return spark.createDataFrame(
         [(n, po, pe, kappa)], "n_items long, po double, pe double, kappa double"

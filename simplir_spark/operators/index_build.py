@@ -43,7 +43,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simplir_spark.functions import codec
@@ -83,39 +83,6 @@ def bucket_expr(key_col: str, cuts: list[str]):
         return F.lit(0)
     arr = F.array([F.lit(c) for c in cuts])
     return F.size(F.filter(arr, lambda c: c <= F.col(key_col)))
-
-
-def assign_doc_ids(df: DataFrame, key_col: str = "doc_key", n_buckets: int | None = None,
-                   cuts: list[str] | None = None) -> tuple[DataFrame, list[str]]:
-    """Add a dense 0-based ``did`` ordered by ``key_col``.
-
-    Replicates the reference's sequential DocId assignment + per-chunk
-    offset re-basing (Document.hs:62-76) distributively; requires unique
-    keys (duplicate keys get arbitrary relative order).
-    """
-    spark = df.sparkSession
-    if n_buckets is None:
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if cuts is None:
-        cuts = sample_boundaries(df, key_col, n_buckets)
-    b = bucket_expr(key_col, cuts).alias("_bucket")
-    dfb = df.withColumn("_bucket", b)
-    counts = {r["_bucket"]: r["count"] for r in dfb.groupBy("_bucket").count().collect()}
-    offsets = {}
-    acc = 0
-    for k in sorted(counts):
-        offsets[k] = acc
-        acc += counts[k]
-    off_df = spark.createDataFrame(
-        [(int(k), int(v)) for k, v in offsets.items()], "_bucket int, _offset long"
-    )
-    w = Window.partitionBy("_bucket").orderBy(key_col)
-    out = (
-        dfb.join(F.broadcast(off_df), "_bucket")
-        .withColumn("did", F.col("_offset") + F.row_number().over(w) - 1)
-        .drop("_bucket", "_offset")
-    )
-    return out, cuts
 
 
 def bucket_offsets(df: DataFrame, key_col: str, cuts: list[str]) -> dict[int, int]:
@@ -377,42 +344,25 @@ def term_did_bucket_expr(cuts: list[tuple], did_col: str = "did"):
 
 def build_postings(pairs: DataFrame, n_partitions: int | None = None,
                    run_size: int = RUN_SIZE_DEFAULT,
-                   with_positions: bool = False,
-                   sample_pairs: list[tuple] | None = None) -> DataFrame:
+                   with_positions: bool = False) -> DataFrame:
     """(did, doc_len, term, tf[, positions]) -> posting-run DataFrame.
 
     Range partition on (term, did): term locality for parquet min/max
     pruning, natural sub-run splitting for hot terms (a term with df
     larger than a partition's share spans ADJACENT partitions — this is
     the salted skew split, with the range partitioner as the salt).
-
-    Partitioning is explicit (sampled boundaries + probe-key shuffle)
-    instead of ``repartitionByRange`` so the boundary sample comes from a
-    cheap caller-supplied sample rather than a full re-execution of the
-    pairs plan (the built-in range partitioner re-runs its child to
-    sample it).
+    Used by the positional build path; the tf-only path encodes runs
+    inside tokenized partitions instead (build_runs in build_index).
     """
     spark = pairs.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = ["term", "did", "tf", "doc_len"] + (["positions"] if with_positions else [])
-    if sample_pairs is None:
-        part = (
-            pairs.repartitionByRange(n_partitions, "term", "did")
-            .sortWithinPartitions("term", "did")
-            .select(*cols)
-        )
-    else:
-        cuts = term_did_cuts(sample_pairs, n_partitions)
-        n_buckets = len(cuts) + 1
-        xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
-        part = (
-            pairs.withColumn("_b", term_did_bucket_expr(cuts))
-            .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_b") + 1))
-            .repartition(n_buckets, "_xb")
-            .sortWithinPartitions("term", "did")
-            .select(*cols)
-        )
+    part = (
+        pairs.repartitionByRange(n_partitions, "term", "did")
+        .sortWithinPartitions("term", "did")
+        .select(*cols)
+    )
     return part.mapInPandas(make_run_encoder(run_size, with_positions), POSTINGS_SCHEMA)
 
 

@@ -99,4 +99,5 @@ def coordinate_ascent(
                 improved = True
         if not improved:
             break
+    features.unpersist()
     return w, best_map

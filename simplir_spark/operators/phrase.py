@@ -80,28 +80,52 @@ def phrase_match_positional(
     spark: SparkSession,
     index: IndexHandle,
     phrases: list[tuple[str, list[str]]],
+    n_shards: int | None = None,
 ) -> DataFrame:
     """(phrase_id, did, tf) via the positional index: decode each phrase
     term's runs, group by did, intersect position lists with +1 shifts.
 
     Plan: postings scan pruned to the phrase terms (parquet pushdown) →
-    per-(phrase, did-range-shard) applyInPandas intersection.  Adjacency is
-    in raw tokenN space (see module docstring).
+    runs routed to every did-range shard they overlap → per-(phrase,
+    shard) applyInPandas intersection (a doc's complete position data
+    lives in one shard, so shard outputs union exactly).  Bounds per-task
+    memory to one shard's postings — a phrase containing a common term
+    never lands corpus-wide in a single task.  Adjacency is in raw tokenN
+    space (see module docstring).
     """
     terms_needed = sorted({t for _, p in phrases for t in p})
     post = index.postings.filter(F.col("term").isin(terms_needed))
     if "pos" not in post.columns:
         raise ValueError("index was not built with_positions=True")
+    if n_shards is None:
+        par = spark.sparkContext.defaultParallelism
+        n_shards = max(1, (2 * par) // max(1, len(phrases)), -(-index.doc_count // (1 << 22)))
+    span = max(1, -(-max(1, index.doc_count) // n_shards))
 
     rows = [(pid, t, j) for pid, p in phrases for j, t in enumerate(p)]
     pdf_phrases = spark.createDataFrame(rows, "phrase_id string, term string, term_ix int")
-    matched = post.join(F.broadcast(pdf_phrases), "term").select(
-        "phrase_id", "term_ix", "term", "start_did", "n", "deltas", "tfs", "dls", "pos"
+    matched = (
+        post.join(F.broadcast(pdf_phrases), "term")
+        .withColumn(
+            "shard",
+            F.explode(
+                F.sequence(
+                    (F.col("start_did") / span).cast("long"),
+                    (F.col("end_did") / span).cast("long"),
+                )
+            ),
+        )
+        .select(
+            "phrase_id", "shard", "term_ix", "term", "start_did", "n",
+            "deltas", "tfs", "dls", "pos",
+        )
     )
     phrase_len = {pid: len(p) for pid, p in phrases}
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = pdf["phrase_id"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        lo, hi = shard * span, (shard + 1) * span
         m = phrase_len[pid]
         # positions per (term_ix, did): dict did -> list of position arrays
         per_ix: list[dict[int, np.ndarray]] = [dict() for _ in range(m)]
@@ -112,6 +136,8 @@ def phrase_match_positional(
             plists = codec.decode_positions(bytes(row.pos), tfs)
             d = per_ix[row.term_ix]
             for did, pl in zip(dids.tolist(), plists):
+                if did < lo or did >= hi:
+                    continue
                 prev = d.get(did)
                 d[did] = np.concatenate([prev, pl]) if prev is not None else np.asarray(pl)
         out_did, out_tf = [], []
@@ -140,6 +166,6 @@ def phrase_match_positional(
             }
         )
 
-    return matched.groupBy("phrase_id").applyInPandas(
+    return matched.groupBy("phrase_id", "shard").applyInPandas(
         score_group, "phrase_id string, did long, tf long"
     )

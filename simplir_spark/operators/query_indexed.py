@@ -98,9 +98,11 @@ def score_query_runs(
     dense = np.zeros(span) if span is not None and 0 < span <= (1 << 22) else None
     seen = np.zeros(span, dtype=bool) if dense is not None else None
 
+    seen_count = 0
     for t in order:
         rest = rest_after[t]
-        if dense is not None:
+        if dense is not None and seen_count >= k:
+            # candidates only matter once pruning can engage (theta > -inf)
             ix = np.nonzero(seen)[0]
             cand_dids = ix + did_lo
             cand_scores = dense[ix]
@@ -148,8 +150,11 @@ def score_query_runs(
             nc = np.concatenate(new_contribs)
             if dense is not None:
                 # O(n) accumulate into the shard-local dense array
-                np.add.at(dense, nd - did_lo, nc)
-                seen[nd - did_lo] = True
+                # (nd unique within a term: runs have disjoint did ranges)
+                off = nd - did_lo
+                seen_count += int(np.count_nonzero(~seen[off]))
+                np.add.at(dense, off, nc)
+                seen[off] = True
             else:
                 all_dids = np.concatenate([cand_dids, nd])
                 all_scores = np.concatenate([cand_scores, nc])
@@ -249,7 +254,10 @@ def bm25_indexed(
     # partitions) + broadcast join
     rows = topk.collect()
     if not rows:
-        return spark.createDataFrame([], "query_id string, doc_key string, rank int, score double")
+        key_type = index.docmeta.schema["doc_key"].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id string, doc_key {key_type}, rank int, score double"
+        )
     topk_df = spark.createDataFrame(rows, topk.schema)
     dids = sorted({r["did"] for r in rows})
     return (

@@ -202,22 +202,18 @@ def cosine_neardup_pairs(
             .select(F.col(id_col).alias("id_a"), F.col("_idb").alias("id_b"))
             .distinct()
         )
-    else:
-        right = base.select(
-            F.col(id_col).alias("id_b"),
-            F.col("_v").alias("_vb"),
-            F.col("_norm").alias("_nb"),
-        )
-        cand = base.select(F.col(id_col).alias("id_a")).crossJoin(
-            F.broadcast(right.select("id_b"))
-        ).filter(F.col("id_a") < F.col("id_b"))
     left = base.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
     )
     right = base.select(
         F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
     )
-    joined = cand.join(left, "id_a").join(F.broadcast(right), "id_b")
+    if method == "lsh":
+        joined = cand.join(left, "id_a").join(F.broadcast(right), "id_b")
+    else:
+        # one streamed pass: left side scans, right side broadcasts with its
+        # vectors — no N^2 id-pair shuffle
+        joined = left.crossJoin(F.broadcast(right)).filter(F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(
         F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
