@@ -11,21 +11,32 @@ Stage graph (each stage checkpointed + lineaged by PipelineRunner):
 Scale design decisions (vs the reference's single-process build,
 simplir-disk-index/src/SimplIR/DiskIndex/Build.hs:34-135):
 
-* Dense 0-based doc ids (DocumentId, Types.hs:54-63) are assigned by
-  doc_key order using explicit range buckets: sample boundaries once,
-  bucket each row with a pure expression, count per bucket, driver-side
-  exclusive scan for offsets (the distributed analog of Document.hs:62-76's
-  mapAccumL), then ``offset[bucket] + row_number within bucket``.
-  `monotonically_increasing_id` is rejected — non-dense, repartition-
-  dependent.  Boundaries are persisted so re-runs are deterministic.
+* ONE heavy pass over content: two column-pruned bookkeeping scans
+  (boundary sample + per-bucket counts over doc_key only), then a single
+  shuffle of raw content into bucket-aligned partitions where one
+  mapInPandas kernel assigns dense doc ids AND tokenizes AND aggregates
+  per-doc term frequencies.  Content crosses the wire exactly once and
+  the raw token stream is never materialized.
 
-* Postings are range-partitioned on (term, did) — a hot term spans
-  *adjacent* partitions, so skew splits naturally into per-slice sub-runs
-  (the salted-skew-splitting BASELINE.json requires, without an explicit
-  salt column: the range partitioner IS the salt, and AQE rebalances
-  further).  Each partition encodes doc-sorted runs of ≤ run_size
-  postings (DiskIndex.hs:117-119: 2^14) via a streaming mapInPandas that
-  carries term groups across Arrow batches.
+* Dense 0-based doc ids (DocumentId, Types.hs:54-63) are assigned by
+  doc_key order: sampled range-bucket boundaries, driver-side exclusive
+  scan of bucket counts for offsets (the distributed analog of
+  Document.hs:62-76's mapAccumL), ``offset[bucket] + position within
+  bucket``.  `monotonically_increasing_id` is rejected — non-dense,
+  repartition-dependent.  Boundaries persist so re-runs are
+  deterministic.  Buckets map to exact partition ids via probed shuffle
+  keys (pure-Python murmur3 pinned to F.hash by test) — balance relies
+  on this mapping, correctness never does.
+
+* Posting runs (≤ run_size postings, DiskIndex.hs:117-119: 2^14) are
+  encoded INSIDE each did-contiguous tokenized partition — the chunked
+  collectIndex build (Build.hs:117-135) — so per-term runs across
+  partitions occupy disjoint did ranges and the final index is their
+  union ordered by (term, start_did): chunk-level DiskIndex.merge
+  without re-encoding.  Only the ~20x-smaller encoded runs shuffle,
+  range-bucketed on (term, start_did) for parquet min/max term pruning;
+  a hot term's runs span adjacent partitions (the salted skew split —
+  the range partitioner IS the salt).
 
 * Runs store delta+varint blobs (codec.py) plus inline per-posting doc
   lengths, so the query path touches only the postings table — no
