@@ -20,7 +20,6 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def _fingerprint(obj) -> str:
@@ -94,22 +93,24 @@ class PipelineRunner:
         df.write.mode("overwrite").parquet(out)
         wall = time.time() - t0
 
-        spark = df.sparkSession
-        written = spark.read.parquet(out)
         metrics: dict = {}
         rows = None
         if self.collect_partition_metrics:
-            per_part = (
-                written.groupBy(F.spark_partition_id().alias("pid"))
-                .count()
-                .collect()
-            )
-            rows = int(sum(r["count"] for r in per_part))
-            metrics["partitions"] = {int(r["pid"]): int(r["count"]) for r in per_part}
+            # per-partition rows/bytes from parquet footers, driver-side —
+            # one output file per partition, so file metadata IS the
+            # per-partition lineage; no Spark job
+            import pyarrow.parquet as pq
+
+            parts: dict[int, int] = {}
             sizes = []
-            for fn in os.listdir(out):
-                if fn.endswith(".parquet"):
-                    sizes.append(os.path.getsize(os.path.join(out, fn)))
+            for i, fn in enumerate(sorted(os.listdir(out))):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(out, fn)
+                parts[i] = int(pq.ParquetFile(p).metadata.num_rows)
+                sizes.append(os.path.getsize(p))
+            rows = int(sum(parts.values()))
+            metrics["partitions"] = parts
             metrics["files"] = len(sizes)
             metrics["bytes"] = int(sum(sizes))
 
