@@ -84,6 +84,16 @@ def run_bench(sf_dir: str, cores: int, out_stream=sys.stdout) -> dict:
     except Exception as e:  # keep bench robust while ops evolve
         extra["minhash_lsh_error"] = str(e)[:100]
 
+    # q7: phrase matching (trie semantics, one corpus pass)
+    t0 = time.time()
+    entry.q_phrase_match(spark, sf_dir).count()
+    timings["phrase_match"] = round(time.time() - t0, 3)
+
+    # q8: parametric query-DSL grid (2 paramsets, one pass)
+    t0 = time.time()
+    entry.q_query_dsl_grid(spark, sf_dir).collect()
+    timings["query_dsl_grid"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "index_build_files_per_sec",
