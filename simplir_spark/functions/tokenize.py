@@ -124,7 +124,11 @@ def _factorize_tokens(all_toks: np.ndarray, texts: pd.Series) -> tuple[np.ndarra
     Batches whose text contains NUL take the slower exact ``np.unique``
     path (Python-level comparisons).
     """
-    if bool(texts.str.contains("\x00", regex=False).any()):
+    return _factorize_flat(all_toks, bool(texts.str.contains("\x00", regex=False).any()))
+
+
+def _factorize_flat(all_toks: np.ndarray, has_nul: bool) -> tuple[np.ndarray, np.ndarray]:
+    if has_nul:
         uniq, inv = np.unique(all_toks, return_inverse=True)
         return inv, np.asarray(uniq, dtype=object)
     inv, uniq = pd.factorize(all_toks)
@@ -187,6 +191,21 @@ def tokenize_batch(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+def jvm_raw_tokens_expr(text_col: str = "content"):
+    """JVM-side equivalent of ``text.translate(_KILL_TABLE).split()``:
+    punctuation kill-set -> spaces via F.translate, split on Unicode
+    whitespace.  Java's (?U)\\s misses U+001C..001F (Python str.isspace()
+    includes the separator controls), so those are folded into the
+    translate map.  May emit '' edge tokens — the raw-token kernels drop
+    them (Python's argless split never yields '').
+
+    Moving kill+split into Tungsten takes ~25% of the tokenize kernel's
+    Python time off the build's hot path.
+    """
+    kill = KILL_CHARS + "\x1c\x1d\x1e\x1f"
+    return F.split(F.translate(F.col(text_col), kill, " " * len(kill)), r"(?U)\s+")
+
+
 def tokenize_tf_batch(texts: pd.Series) -> pd.DataFrame:
     """Tokenize + per-doc term-frequency aggregation in ONE kernel pass.
 
@@ -203,7 +222,15 @@ def tokenize_tf_batch(texts: pd.Series) -> pd.DataFrame:
     """
     texts = texts.fillna("")
     raw = texts.str.translate(_KILL_TABLE).str.split()
-    n_docs = len(texts)
+    has_nul = bool(texts.str.contains("\x00", regex=False).any())
+    return tokenize_tf_from_raw(raw, has_nul=has_nul)
+
+
+def tokenize_tf_from_raw(raw: pd.Series, has_nul: bool | None = None) -> pd.DataFrame:
+    """tokenize_tf_batch's tail over pre-split raw-token arrays (either
+    Python-split or ``jvm_raw_tokens_expr`` output — '' tokens are
+    dropped, restoring Python split() semantics)."""
+    n_docs = len(raw)
     lens = np.fromiter((len(t) for t in raw), dtype=np.int64, count=n_docs)
     total = int(lens.sum())
     if total == 0:
@@ -219,8 +246,23 @@ def tokenize_tf_batch(texts: pd.Series) -> pd.DataFrame:
 
     all_toks = np.fromiter(chain.from_iterable(raw), dtype=object, count=total)
     doc_ix = np.repeat(np.arange(n_docs), lens)
+    nonempty = all_toks != ""
+    if not nonempty.all():
+        all_toks = all_toks[nonempty]
+        doc_ix = doc_ix[nonempty]
+        if len(all_toks) == 0:
+            return pd.DataFrame(
+                {
+                    "terms": [[] for _ in range(n_docs)],
+                    "tfs": [[] for _ in range(n_docs)],
+                    "doc_len": np.zeros(n_docs, dtype=np.int32),
+                    "doc_len_alnum": np.zeros(n_docs, dtype=np.int32),
+                }
+            )
+    if has_nul is None:
+        has_nul = bool(pd.Series(all_toks).str.contains("\x00", regex=False).any())
 
-    inv, uniq = _factorize_tokens(all_toks, texts)
+    inv, uniq = _factorize_flat(all_toks, has_nul)
     norm_u = _norm_unique(uniq)
     alnum_u = _alnum_unique(uniq)
     dl_alnum = np.bincount(doc_ix[alnum_u[inv]], minlength=n_docs).astype(np.int32)

@@ -170,7 +170,7 @@ def make_tokenize_assign_kernel(offsets: dict[int, int], carry_cols: list[str],
     shuffle, so content crosses the wire exactly once and no separate
     id-assignment job exists.
     """
-    from simplir_spark.functions.tokenize import tokenize_pos_batch, tokenize_tf_batch
+    from simplir_spark.functions.tokenize import tokenize_pos_batch, tokenize_tf_from_raw
 
     def kernel(batches):
         counters: dict[int, int] = {}
@@ -191,7 +191,8 @@ def make_tokenize_assign_kernel(offsets: dict[int, int], carry_cols: list[str],
             tok = (
                 tokenize_pos_batch(pdf["content"])
                 if with_positions
-                else tokenize_tf_batch(pdf["content"])
+                # tf path: kill+split already ran JVM-side (jvm_raw_tokens_expr)
+                else tokenize_tf_from_raw(pdf["_raw"])
             )
             out = {"did": dids}
             for c in carry_cols:
@@ -471,8 +472,16 @@ def build_index(
             + ", ".join(f"{c} {carry_types[c]}" for c in carry)
             + f", {tok_fields}, doc_len int, doc_len_alnum int"
         )
+        if with_positions:
+            heavy_src = src
+        else:
+            # kill-set + whitespace split in Tungsten before the shuffle;
+            # content is not needed downstream (sha256 already computed)
+            from simplir_spark.functions.tokenize import jvm_raw_tokens_expr
+
+            heavy_src = src.withColumn("_raw", jvm_raw_tokens_expr("content")).drop("content")
         heavy = (
-            src.withColumn("_bucket", bucket_expr("doc_key", cuts))
+            heavy_src.withColumn("_bucket", bucket_expr("doc_key", cuts))
             .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_bucket") + 1))
             .repartition(n_buckets, "_xb")
             .sortWithinPartitions("_bucket", "doc_key")

@@ -127,3 +127,29 @@ def test_spark_udf_matches_pure(spark, corpus_small):
         assert list(r.terms) == terms
         assert r.doc_len == len(terms)
         assert r.doc_len_alnum == dl
+
+
+def test_jvm_raw_tokens_matches_python_split(spark):
+    """jvm_raw_tokens_expr (translate + (?U)\\s split in Tungsten) must
+    reproduce Python's text.translate(KILL).split() exactly after ''
+    removal — including separator controls U+001C..1F, which Python
+    isspace() includes but Java (?U)\\s does not."""
+    from simplir_spark.functions.tokenize import _KILL_TABLE, jvm_raw_tokens_expr
+
+    texts = [
+        "Hello, world! foo2 bar",
+        "",
+        "x\x1cy\x1dz\x1ea\x1fb",
+        "tab\tand\nnewline\r mix",
+        "unicode space wide",
+        "emoji 🎉 stays; punct!kill",
+        "  leading and trailing  ",
+        "a.b'c keeps dots'n'quotes",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    got = [
+        [x for x in r.raw if x != ""]
+        for r in df.select(jvm_raw_tokens_expr("content").alias("raw")).collect()
+    ]
+    want = [t.translate(_KILL_TABLE).split() for t in texts]
+    assert got == want
