@@ -87,8 +87,13 @@ def one_run(cores: int, sf_dir: str, replicate: int, repeats: int = 3) -> dict:
         F.sum("doc_len")
     ).collect()
 
-    builds, queries, stages_best = [], [], {}
+    builds, queries, probes, stages_best = [], [], [], {}
+    probe_at_best = 0.0
     for rep in range(repeats):
+        # time-paired CPU probe: sampled immediately before the build so
+        # ceiling normalization reflects the SAME host-load phase as the
+        # engine measurement it is paired with
+        probes.append(_cpu_speed(cores))
         idx_dir = tempfile.mkdtemp(prefix=f"simplir_scale_{cores}_{rep}_")
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
@@ -96,6 +101,7 @@ def one_run(cores: int, sf_dir: str, replicate: int, repeats: int = 3) -> dict:
         build_sec = time.time() - t0
         builds.append(round(build_sec, 3))
         if builds[-1] <= min(builds):
+            probe_at_best = probes[-1]
             stages_best = {}
             for f in sorted(glob.glob(os.path.join(idx_dir, "_lineage", "*.json"))):
                 with open(f) as fh:
@@ -117,8 +123,20 @@ def one_run(cores: int, sf_dir: str, replicate: int, repeats: int = 3) -> dict:
         "files_per_sec": round(n_docs / best, 2),
         "query_sec": min(queries),
         "all_build_sec": builds,
+        "probe_speed_at_best": round(probe_at_best, 1),
+        "all_probe_speed": [round(p, 1) for p in probes],
         "stages": stages_best,
     }
+
+
+def _cpu_speed(procs: int) -> float:
+    """One pure-CPU multiprocessing throughput sample at ``procs`` workers."""
+    import multiprocessing
+
+    t0 = time.time()
+    with multiprocessing.Pool(procs) as p:
+        p.map(_burn, [4_000_000] * procs)
+    return procs * 4_000_000 / (time.time() - t0)
 
 
 def hardware_ceiling(lo: int, hi: int, reps: int = 5) -> float:
@@ -130,21 +148,13 @@ def hardware_ceiling(lo: int, hi: int, reps: int = 5) -> float:
     reported raw AND normalized by this ceiling — the normalized number
     is the cluster-relevant one (a real cluster adds machines, not
     sibling hyperthreads)."""
-    import multiprocessing
-
-    def _speed(procs: int) -> float:
-        t0 = time.time()
-        with multiprocessing.Pool(procs) as p:
-            p.map(_burn, [4_000_000] * procs)
-        return procs * 4_000_000 / (time.time() - t0)
-
     # interleave widths so a host-load phase hits both; a ratio above the
     # ideal hi/lo factor is impossible for a fair probe (it means the lo
     # measurement was externally slowed) -> clamp
     best_lo = best_hi = 0.0
     for _ in range(reps):
-        best_lo = max(best_lo, _speed(lo))
-        best_hi = max(best_hi, _speed(hi))
+        best_lo = max(best_lo, _cpu_speed(lo))
+        best_hi = max(best_hi, _cpu_speed(hi))
     return min(best_hi / best_lo, hi / lo)
 
 
@@ -168,6 +178,13 @@ def main() -> None:
     ceiling_ratio = hardware_ceiling(lo, hi)  # max achievable ratio on this host
     engine_ratio = amp[1]["files_per_sec"] / amp[0]["files_per_sec"]
     eff_norm = engine_ratio / ceiling_ratio
+    # time-paired ceiling: CPU probes sampled immediately before the best
+    # build at each width — normalization under the same load phase
+    paired = min(
+        amp[1]["probe_speed_at_best"] / max(amp[0]["probe_speed_at_best"], 1e-9),
+        factor,
+    )
+    eff_norm_paired = engine_ratio / paired
 
     stage_rows = []
     for st in sorted(set(amp[0]["stages"]) | set(amp[1]["stages"])):
@@ -236,7 +253,7 @@ to 1.0 is fixed per-build overhead (checkpointed-stage scheduling and
 parquet commits) plus the single shared shuffle disk.
 
 ```json
-{json.dumps({"raw": raw, "amplified": amp, "eff_raw": round(eff_raw, 3), "eff_amplified": round(eff_amp, 3), "hardware_ceiling_ratio": round(ceiling_ratio, 3), "eff_normalized": round(eff_norm, 3)})}
+{json.dumps({"raw": raw, "amplified": amp, "eff_raw": round(eff_raw, 3), "eff_amplified": round(eff_amp, 3), "hardware_ceiling_ratio": round(ceiling_ratio, 3), "eff_normalized": round(eff_norm, 3), "paired_ceiling_ratio": round(paired, 3), "eff_normalized_paired": round(eff_norm_paired, 3)})}
 ```
 """
         )
@@ -249,6 +266,8 @@ parquet commits) plus the single shared shuffle disk.
                 "eff_amplified": round(eff_amp, 3),
                 "hardware_ceiling_ratio": round(ceiling_ratio, 3),
                 "eff_normalized": round(eff_norm, 3),
+                "paired_ceiling_ratio": round(paired, 3),
+                "eff_normalized_paired": round(eff_norm_paired, 3),
             }
         )
     )
