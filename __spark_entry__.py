@@ -487,6 +487,39 @@ def q_query_dsl_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("doc_key", "doc_id")
 
 
+EMB_DIM = 4
+
+
+def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-weighted mean term-vector document embeddings (WordEmbedding.hs
+    embedTerms; general operator: simplir_spark/operators/embedding.py,
+    exercised in tests) over deterministic md5-derived term vectors.
+
+    Cross-engine exactness: components are integers k in [0,1000), the
+    weighted sums are BIGINT (order-independent), and the single double
+    division + floor-round is bit-identical on both engines.
+    """
+    pairs = doc_term_tfs(_tokenized_docs(spark, sf_dir), doc_cols=["doc_id"])
+    kcols = [
+        F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit(f":{j}"))), 1, 15), 16, 10)
+        .cast("long") % 1000
+        for j in range(EMB_DIM)
+    ]
+    with_k = pairs.select(
+        "doc_id", "tf", *[kcols[j].alias(f"k{j}") for j in range(EMB_DIM)]
+    )
+    agg = with_k.groupBy("doc_id").agg(
+        F.sum("tf").alias("_w"),
+        F.count(F.lit(1)).alias("n_terms"),
+        *[F.sum(F.col(f"k{j}") * F.col("tf")).alias(f"_n{j}") for j in range(EMB_DIM)],
+    )
+    comps = [
+        F.floor(F.col(f"_n{j}") / (F.col("_w") * 1000.0) * 1e6 + 0.5) / 1e6
+        for j in range(EMB_DIM)
+    ]
+    return agg.select("doc_id", F.array(*comps).alias("vec"), "n_terms")
+
+
 def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = with_tokens(_corpus(spark, sf_dir))
     bucket = F.least(F.floor(F.col("doc_len") / 10), F.lit(20)).cast("long")
@@ -537,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "embedding_neardup": q_embedding_neardup,
         "query_dsl_grid": q_query_dsl_grid,
+        "doc_embeddings": q_doc_embeddings,
     }
 
 
@@ -1153,6 +1187,29 @@ def oracle_sql() -> dict[str, str]:
       FROM allscored
     )
     SELECT param_set, doc_id, rank, score FROM ranked WHERE rank <= {K}
+    """
+
+    vec_cols = ", ".join(
+        f"(('0x' || substr(md5(term || ':{j}'), 1, 15))::BIGINT % 1000) AS k{j}"
+        for j in range(EMB_DIM)
+    )
+    vec_sums = ", ".join(
+        f"CAST(sum(k{j} * tf) AS BIGINT) AS n{j}" for j in range(EMB_DIM)
+    )
+    vec_list = ", ".join(
+        f"floor(n{j} / (w * 1000.0) * 1e6 + 0.5) / 1e6" for j in range(EMB_DIM)
+    )
+    sql["doc_embeddings"] = f"""
+    WITH {_TOK},
+    tv AS (SELECT DISTINCT term FROM tf),
+    vecs AS (SELECT term, {vec_cols} FROM tv),
+    j AS (SELECT tf.doc_id, tf.tf, {", ".join(f"vecs.k{j}" for j in range(EMB_DIM))}
+          FROM tf JOIN vecs USING (term)),
+    agg AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS w, {vec_sums}, count(*) AS n_terms
+      FROM j GROUP BY doc_id
+    )
+    SELECT doc_id, [{vec_list}] AS vec, n_terms FROM agg
     """
 
     sql["token_counts"] = r"""
