@@ -520,6 +520,37 @@ def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", F.array(*comps).alias("vec"), "n_terms")
 
 
+def q_ql_dirichlet_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet QL through the on-disk index (retrieval-model genericity
+    of the index, SimpleIndex.hs:159-165) — same oracle as the scan path,
+    which IS the indexed-vs-SQL rank-identity check."""
+    from simplir_spark.operators.query_indexed import ql_dirichlet_indexed
+
+    idx = _indexed(spark, sf_dir)
+    res = ql_dirichlet_indexed(spark, idx, QL_QUERIES, k=K, mu=1000.0)
+    scored = res.select("query_id", "doc_key", F.round("score", DP).alias("score"))
+    return _rename_key(topk_ranked(scored, K).select("query_id", "doc_key", "rank", "score"))
+
+
+def q_merge_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeRankings tool (simplir-trec-streaming/MergeRankings.hs:39-70):
+    merge per-method run files, re-rank per (qid, method), truncate to k —
+    here merging the BM25 and TF-IDF runs of the same query set."""
+    from simplir_spark.operators.evaluation import merge_rankings
+
+    def run_of(model: str) -> DataFrame:
+        res = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, model=model, round_dp=DP)
+        return res.select(
+            F.col("query_id").alias("qid"),
+            F.col("doc_key").cast("string").alias("doc"),
+            "score",
+            F.lit(model).alias("method"),
+        )
+
+    merged = merge_rankings([run_of("bm25"), run_of("tfidf")], k=K)
+    return merged.select("qid", "method", "doc", "rank", "score")
+
+
 def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = with_tokens(_corpus(spark, sf_dir))
     bucket = F.least(F.floor(F.col("doc_len") / 10), F.lit(20)).cast("long")
@@ -571,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "query_dsl_grid": q_query_dsl_grid,
         "doc_embeddings": q_doc_embeddings,
+        "merge_rankings": q_merge_rankings,
+        "ql_dirichlet_topk_indexed": q_ql_dirichlet_topk_indexed,
     }
 
 
@@ -679,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bm25_topk"] = _BM25_TOPK_SQL
     sql["bm25_topk_indexed"] = _BM25_TOPK_SQL
+    # indexed QL shares the scan path's oracle (rank-identity through the index)
 
     sql["tfidf_topk"] = f"""
     WITH {_TOK},
@@ -1210,6 +1244,41 @@ def oracle_sql() -> dict[str, str]:
       FROM j GROUP BY doc_id
     )
     SELECT doc_id, [{vec_list}] AS vec, n_terms FROM agg
+    """
+
+    sql["ql_dirichlet_topk_indexed"] = sql["ql_dirichlet_topk"]
+
+    sql["merge_rankings"] = f"""
+    WITH {_TOK}, {_BM25_SCORED},
+    bm25_rk AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ),
+    tfidf_scored AS (
+      SELECT q.query_id, tf.doc_id,
+        round(sum(tf.tf * ln(s.n / (1.0 + df.df))), 6) AS score
+      FROM q JOIN tf USING (term) JOIN df USING (term) CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    tfidf_rk AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      FROM tfidf_scored
+    ),
+    runs AS (
+      SELECT query_id AS qid, CAST(doc_id AS VARCHAR) AS doc, score, 'bm25' AS method
+      FROM bm25_rk WHERE rnk <= {K}
+      UNION ALL
+      SELECT query_id, CAST(doc_id AS VARCHAR), score, 'tfidf' FROM tfidf_rk WHERE rnk <= {K}
+    ),
+    finite AS (SELECT * FROM runs WHERE isfinite(score)),
+    rer AS (
+      SELECT qid, method, doc, score,
+             CAST(row_number() OVER (PARTITION BY qid, method ORDER BY score DESC, doc) AS INTEGER) AS rank
+      FROM finite
+    )
+    SELECT qid, method, doc, rank, score FROM rer WHERE rank <= {K}
     """
 
     sql["token_counts"] = r"""

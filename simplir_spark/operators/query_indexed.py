@@ -175,6 +175,152 @@ def score_query_runs(
     return cand_dids[sel], cand_scores[sel]
 
 
+def ql_dirichlet_indexed(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    mu: float = 1000.0,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Dirichlet-smoothed query likelihood over the inverted index — the
+    index is retrieval-model-generic like the reference's SimpleIndex
+    (RetrievalModel plug-in, SimpleIndex.hs:159-165).
+
+    Per (query, did-shard) the match-any doc set scores via the dense
+    decomposition
+
+        score(d) = C0 + corr(d) - Q * ln(dl_d + mu)
+        C0       = sum_t qtf_t * ln(mu * bg_t)           (per query)
+        corr(d)  = sum_{t present in d} qtf_t * (ln(tf + mu*bg_t) - ln(mu*bg_t))
+        Q        = sum_t qtf_t
+
+    so one dense array accumulates all terms' contributions in
+    O(postings) — mathematically the per-term sum of
+    ln((tf + mu*bg)/(dl + mu)) (QueryLikelihood.hs:58-62).  Terms with
+    cf = 0 have probability 0: every matched doc lacking them scores
+    -inf; docs containing them fall back to ln(tf/(dl+mu)).
+    """
+    import math
+
+    qdf = queries_df(spark, queries)
+    doc_count, token_count = index.doc_count, index.token_count
+    if n_shards is None:
+        par = spark.sparkContext.defaultParallelism
+        n_shards = max(1, (2 * par) // max(1, len(queries)), -(-doc_count // (1 << 22)))
+    span = max(1, -(-max(1, doc_count) // n_shards))
+
+    q_terms = sorted({t for _, terms in queries for t in terms})
+    cf_by_term = {
+        r["term"]: int(r["cf"])
+        for r in index.term_stats.filter(F.col("term").isin(q_terms)).collect()
+    }
+    qtf = {
+        (qid, t): sum(1 for x in terms if x == t)
+        for qid, terms in queries
+        for t in set(terms)
+    }
+    q_term_lists = {qid: sorted(set(terms)) for qid, terms in queries}
+
+    post = index.postings.filter(F.col("term").isin(q_terms))
+    matched = (
+        post.join(F.broadcast(qdf), "term")
+        .withColumn(
+            "shard",
+            F.explode(
+                F.sequence(
+                    (F.col("start_did") / span).cast("long"),
+                    (F.col("end_did") / span).cast("long"),
+                )
+            ),
+        )
+        .select("query_id", "shard", "term", "start_did", "n", "deltas", "tfs", "dls")
+    )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        lo, hi = shard * span, min((shard + 1) * span, max(doc_count, 1))
+        width = max(hi - lo, 1)
+        corr = np.zeros(width)
+        dl_arr = np.zeros(width, dtype=np.int64)
+        seen = np.zeros(width, dtype=bool)
+        cf0_seen = np.zeros(width, dtype=np.int32)
+        terms_q = q_term_lists[qid]
+        # terms with cf=0 have background probability 0: a doc missing one
+        # scores -inf (Log-Double zero); a doc containing it contributes
+        # the direct w*ln(tf) (no background to decompose against)
+        cf0_needed = sum(1 for t in terms_q if cf_by_term.get(t, 0) == 0)
+        c0 = 0.0
+        q_total = 0.0
+        for t in terms_q:
+            w = qtf[(qid, t)]
+            q_total += w
+            bg = cf_by_term.get(t, 0) / token_count if token_count else 0.0
+            if bg > 0:
+                c0 += w * math.log(mu * bg)
+        for t in terms_q:
+            w = qtf[(qid, t)]
+            bg = cf_by_term.get(t, 0) / token_count if token_count else 0.0
+            trun = pdf[pdf["term"] == t]
+            base = math.log(mu * bg) if bg > 0 else 0.0
+            for row in trun.itertuples(index=False):
+                dids, tfs, dls = codec.decode_run(
+                    row.start_did, row.n, row.deltas, row.tfs, row.dls
+                )
+                m = (dids >= lo) & (dids < hi)
+                if not m.any():
+                    continue
+                off = dids[m] - lo
+                tf = tfs[m].astype(np.float64)
+                if bg > 0:
+                    corr[off] += w * (np.log(tf + mu * bg) - base)
+                else:
+                    corr[off] += w * np.log(tf)
+                    cf0_seen[off] += 1
+                dl_arr[off] = dls[m]
+                seen[off] = True
+        ix = np.nonzero(seen)[0]
+        if len(ix) == 0:
+            return pd.DataFrame({"query_id": [], "did": [], "score": []}).astype(
+                {"query_id": str, "did": np.int64, "score": np.float64}
+            )
+        scores = c0 + corr[ix] - q_total * np.log(dl_arr[ix] + mu)
+        if cf0_needed:
+            scores = np.where(cf0_seen[ix] == cf0_needed, scores, float("-inf"))
+        dids_out = ix + lo
+        sel = np.lexsort((dids_out, -scores))[:k]
+        return pd.DataFrame(
+            {"query_id": qid, "did": dids_out[sel], "score": scores[sel]}
+        )
+
+    from pyspark.sql import Window
+
+    local_topk = matched.groupBy("query_id", "shard").applyInPandas(
+        score_group, "query_id string, did long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("did"))
+    topk = (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "did", F.col("rank").cast("int").alias("rank"), "score")
+    )
+    rows = topk.collect()
+    if not rows:
+        key_type = index.docmeta.schema["doc_key"].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id string, doc_key {key_type}, rank int, score double"
+        )
+    topk_df = spark.createDataFrame(rows, topk.schema)
+    dids = sorted({r["did"] for r in rows})
+    return (
+        index.docmeta.select("did", "doc_key")
+        .filter(F.col("did").isin(dids))
+        .join(F.broadcast(topk_df), "did")
+        .select("query_id", "doc_key", "rank", "score")
+    )
+
+
 def bm25_indexed(
     spark: SparkSession,
     index: IndexHandle,

@@ -297,3 +297,25 @@ def test_build_empty_corpus(spark, tmp_path_factory):
     idx = open_index(spark, out)
     assert idx.doc_count == 0 and idx.postings.count() == 0
     assert bm25_indexed(spark, idx, QUERIES[:2], k=5).count() == 0
+
+
+def test_ql_indexed_matches_scan(spark, index_dir, corpus_small):
+    """Indexed Dirichlet-QL (dense decomposition) must reproduce the
+    scan-mode QL ranking (itself oracle-checked) — full ranking compared
+    as rounded-score multisets per query."""
+    from simplir_spark.operators.query import bm25_scan
+    from simplir_spark.operators.query_indexed import ql_dirichlet_indexed
+
+    queries = [q for q in QUERIES if q[0] not in ("Q08", "Q09", "Q14")][:8]
+    idx = open_index(spark, index_dir)
+    got = ql_dirichlet_indexed(spark, idx, queries, k=10_000, mu=1000.0)
+    want = bm25_scan(spark, corpus_small, queries, k=10_000, model="ql_dirichlet", mu=1000.0)
+    g = {}
+    for r in got.collect():
+        g.setdefault(r.query_id, []).append((r.doc_key, round(r.score, 6)))
+    w = {}
+    for r in want.collect():
+        w.setdefault(r.query_id, []).append((f"doc{int(r.doc_key):012d}" if str(r.doc_key).isdigit() else r.doc_key, round(r.score, 6)))
+    assert set(g) == set(w)
+    for qid in g:
+        assert sorted(g[qid]) == sorted(w[qid]), qid
