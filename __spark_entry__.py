@@ -261,6 +261,25 @@ def q_ql_laplace_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rename_key(res.select("query_id", "doc_key", "rank", "score"))
 
 
+def q_ql_nosmoothing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QL NoSmoothing (QueryLikelihood.hs:44-47): only docs containing
+    every query term score finite; -inf docs are filtered pre-rank."""
+    res = bm25_scan(
+        spark, _corpus(spark, sf_dir), QUERIES, k=K, model="ql_nosmoothing", round_dp=DP
+    )
+    return _rename_key(res.select("query_id", "doc_key", "rank", "score"))
+
+
+def q_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term_stats with the reference's 418-word InQuery stopword list
+    applied (simplir-stop-words/data/inquery-en.txt via StopWords.hs:9-20,
+    the Search2.hs:231 pipeline variant)."""
+    from simplir_spark.functions.text import inquery_stopwords
+
+    tok = with_tokens(_corpus(spark, sf_dir), stopwords=inquery_stopwords())
+    return term_stats(doc_term_tfs(tok))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplir_spark.functions.text import lang_id
 
@@ -311,9 +330,12 @@ def _run_and_qrels(spark: SparkSession, sf_dir: str):
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded to scalar (doc_id, fp) rows so the driver can sort/hash;
+    docs shorter than k terms have no fingerprints and emit no rows."""
     from simplir_spark.functions.text import winnowing_fingerprints
 
-    return winnowing_fingerprints(_tokenized_docs(spark, sf_dir), k=5, window=4)
+    fps = winnowing_fingerprints(_tokenized_docs(spark, sf_dir), k=5, window=4)
+    return fps.select("doc_id", F.explode("fingerprints").alias("fp"))
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,9 +351,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction plumbing (decode stubbed behind a
-    deterministic fake — no codec libs in this container).  Feature vectors
-    are not SQL-expressible -> rows-only checked; sha256/n_bytes integrity
-    is covered by tests/test_streaming_multimodal.py."""
+    deterministic md5-derived fake — no codec libs in this container).
+    The fake is SQL-reproducible, so this is FULLY oracle-checked:
+    n_bytes, sha256 integrity AND every feature component.  Exploded to
+    scalar (media_id, ..., ix, fv) rows for the driver's canonicalizer."""
     import os as _os
 
     from simplir_spark.operators.multimodal import extract_features
@@ -348,10 +371,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     feats = extract_features(media, dim=8)
-    return feats.select(
+    exploded = feats.select(
         "media_id", "kind", "n_bytes", "sha256",
-        F.transform("feature", lambda x: F.round(x, DP)).alias("feature"),
+        F.posexplode("feature").alias("ix", "fv"),
     )
+    return exploded.withColumn("fv", F.round("fv", DP))
 
 
 PHRASES = [("P1", ["hash", "join"]), ("P2", ["customer", "order"]), ("P3", ["the", "dup"])]
@@ -461,6 +485,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(_emb_with_neardups(spark, sf_dir), threshold=0.9, method="brute")
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH near-dup path (bucketed candidate generation + exact cosine
+    verify, NO full-table broadcast) against the exact brute-force oracle:
+    hyperplanes are deterministic and the planted dups (cos ~0.9997 vs a
+    0.51 inter-pair ceiling) all share a band at this scale, so LSH output
+    == the exact pair set — a true oracle check of the verify join."""
+    from simplir_spark.operators.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_emb_with_neardups(spark, sf_dir), threshold=0.9, method="lsh")
+
+
 # parametric template: weight + BM25 k1/b resolved per parameter set
 # (Parametric.hs grid evaluation — queries × paramsets in ONE pass)
 DSL_GRID_TEMPLATE = {
@@ -517,7 +552,8 @@ def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col(f"_n{j}") / (F.col("_w") * 1000.0) * 1e6 + 0.5) / 1e6
         for j in range(EMB_DIM)
     ]
-    return agg.select("doc_id", F.array(*comps).alias("vec"), "n_terms")
+    # exploded to scalar (doc_id, n_terms, ix, comp) rows for the driver
+    return agg.select("doc_id", "n_terms", F.posexplode(F.array(*comps)).alias("ix", "comp"))
 
 
 def q_ql_dirichlet_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_dsl": q_query_dsl,
         "ql_jm_topk": q_ql_jm_topk,
         "ql_laplace_topk": q_ql_laplace_topk,
+        "ql_nosmoothing_topk": q_ql_nosmoothing_topk,
+        "stopword_stats": q_stopword_stats,
         "lang_id": q_lang_id,
         "prec_at_k": q_prec_at_k,
         "reciprocal_rank": q_reciprocal_rank,
@@ -600,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2r_weights": q_l2r_weights,
         "token_counts": q_token_counts,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "query_dsl_grid": q_query_dsl_grid,
         "doc_embeddings": q_doc_embeddings,
         "merge_rankings": q_merge_rankings,
@@ -1033,6 +1072,46 @@ def oracle_sql() -> dict[str, str]:
     SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {K}
     """
 
+    sql["ql_nosmoothing_topk"] = f"""
+    WITH {_TOK},
+    q(query_id, term, qtf) AS (VALUES {_values_q_qtf(QUERIES)}),
+    nq AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+    hits AS (
+      SELECT q.query_id, tf.doc_id, count(*) AS n_hit
+      FROM q JOIN tf USING (term) GROUP BY 1, 2
+    ),
+    full_match AS (
+      SELECT h.query_id, h.doc_id FROM hits h JOIN nq USING (query_id)
+      WHERE h.n_hit = nq.n_terms
+    ),
+    scored AS (
+      SELECT f.query_id, f.doc_id,
+        round(sum(q.qtf * ln(tf.tf / CAST(dl.dl AS DOUBLE))), 6) AS score
+      FROM full_match f
+      JOIN q ON q.query_id = f.query_id
+      JOIN tf ON tf.doc_id = f.doc_id AND tf.term = q.term
+      JOIN doclen dl ON dl.doc_id = f.doc_id
+      GROUP BY f.query_id, f.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+             score
+      FROM scored
+    )
+    SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {K}
+    """
+
+    from simplir_spark.functions.text import inquery_stopwords
+
+    _inquery_list = ", ".join("'" + w.replace("'", "''") + "'" for w in inquery_stopwords())
+    sql["stopword_stats"] = f"""
+    WITH {_TOK}
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+    FROM tf WHERE term NOT IN ({_inquery_list})
+    GROUP BY term
+    """
+
     from simplir_spark.functions.text import _LANG_PROFILES
 
     lang_cols = []
@@ -1101,16 +1180,23 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY r.query_id
     """
 
-    # winnowing: k-gram (k=5) 60-bit md5 hashes ('0x'||first-15-hex ==
-    # digest[:8] >> 4), per-4-window minima, sorted distinct
-    sql["winnowing"] = """
+    # winnowing: k-gram (k=5) polynomial rolling hash over md5-derived
+    # 31-bit token hashes (same constants as the Spark kernel), per-4-window
+    # minima, distinct scalar rows
+    from simplir_spark.functions.text import WINNOW_BASE, WINNOW_MOD, winnow_token_hash_sql
+
+    _wpw = [pow(WINNOW_BASE, 4 - j, WINNOW_MOD) for j in range(5)]
+    _gram_h = " + ".join(
+        f"({winnow_token_hash_sql(f'toks[i+{j}]')} * {_wpw[j]}) % {WINNOW_MOD}"
+        for j in range(5)
+    )
+    sql["winnowing"] = f"""
     WITH tk AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 2) AS toks
       FROM documents
     ),
     grams AS (
-      SELECT doc_id, i,
-        ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]), 1, 15))::BIGINT AS h
+      SELECT doc_id, i, ({_gram_h}) % {WINNOW_MOD} AS h
       FROM tk, unnest(generate_series(1, len(toks) - 4)) AS g(i)
     ),
     wins AS (
@@ -1122,13 +1208,18 @@ def oracle_sql() -> dict[str, str]:
     sel AS (
       SELECT doc_id, m FROM wins
       WHERE (n <= 4 AND i = 1) OR (n > 4 AND i <= n - 3)
-    ),
-    fp AS (
-      SELECT doc_id, list_sort(list_distinct(list(m))) AS fingerprints
-      FROM sel GROUP BY doc_id
     )
-    SELECT d.doc_id, coalesce(fp.fingerprints, CAST([] AS BIGINT[])) AS fingerprints
-    FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+    SELECT DISTINCT doc_id, m AS fp FROM sel
+    """
+
+    sql["multimodal_features"] = """
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(g.j AS INTEGER) AS ix,
+           round((('0x' || substr(md5(text || ':' || CAST(g.j AS VARCHAR)), 1, 15))::BIGINT % 1000) / 1000.0, 6) AS fv
+    FROM documents, unnest(generate_series(0, 7)) AS g(j)
     """
 
     phrase_vals = ", ".join(f"('{pid}', '{p[0]}', '{p[1]}')" for pid, p in PHRASES)
@@ -1152,18 +1243,20 @@ def oracle_sql() -> dict[str, str]:
              CASE WHEN length(d.text) % 2 = 0 THEN 'y' ELSE 'n' END AS lb
       FROM doclen dl0 JOIN documents d ON d.doc_id = dl0.doc_id
     ),
-    nn AS (SELECT count(*) AS n FROM j),
-    po_t AS (SELECT sum(CASE WHEN la = lb THEN 1 ELSE 0 END) / (SELECT n FROM nn) AS po FROM j),
-    ma AS (SELECT la AS k, count(*) / (SELECT n FROM nn) AS pa FROM j GROUP BY la),
-    mb AS (SELECT lb AS k, count(*) / (SELECT n FROM nn) AS pb FROM j GROUP BY lb),
-    pe_t AS (
-      SELECT sum(coalesce(pa, 0) * coalesce(pb, 0)) AS pe
-      FROM ma FULL JOIN mb USING (k)
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+    ag AS (SELECT CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS agree FROM j),
+    ca AS (SELECT la AS k, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY la),
+    cb AS (SELECT lb AS k, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY lb),
+    cr AS (SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS cross FROM ca JOIN cb USING (k)),
+    -- exact integer sums -> single divisions, bit-identical to the Spark side
+    vals AS (
+      SELECT nn.n, ag.agree / nn.n AS po, cr.cross / (nn.n * nn.n) AS pe
+      FROM nn, ag, cr
     )
-    SELECT (SELECT n FROM nn) AS n_items,
+    SELECT n AS n_items,
            round(po, 6) AS po, round(pe, 6) AS pe,
            round((po - pe) / (1 - pe), 6) AS kappa
-    FROM po_t, pe_t
+    FROM vals
     """
 
     sql["fleiss_kappa"] = f"""
@@ -1178,16 +1271,24 @@ def oracle_sql() -> dict[str, str]:
     counts AS (SELECT item, label, count(*) AS nij FROM votes GROUP BY 1, 2),
     per_item AS (SELECT item, sum(nij) AS n, sum(nij * nij) AS sq FROM counts GROUP BY item),
     agg AS (
-      SELECT count(*) AS n_items, max(n) AS n_raters,
-             avg((sq - n) / (n * (n - 1.0))) AS p_bar
+      SELECT CAST(count(*) AS BIGINT) AS n_items, CAST(max(n) AS BIGINT) AS n_raters,
+             CAST(sum(sq) AS BIGINT) AS s_sq, CAST(sum(n) AS BIGINT) AS s_n
       FROM per_item
     ),
-    tot AS (SELECT count(*) AS t FROM votes),
-    pj AS (SELECT label, count(*) / (SELECT t FROM tot) AS p FROM votes GROUP BY label),
-    pe AS (SELECT sum(p * p) AS p_e FROM pj)
+    sc AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS sc
+      FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS c FROM counts GROUP BY label)
+    ),
+    -- exact integer sums -> single divisions, bit-identical to the Spark side
+    vals AS (
+      SELECT n_items, n_raters,
+             (s_sq - s_n) / (n_items * n_raters * (n_raters - 1)) AS p_bar,
+             sc.sc / (s_n * s_n) AS p_e
+      FROM agg, sc
+    )
     SELECT n_items, n_raters, round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
            round((p_bar - p_e) / (1 - p_e), 6) AS kappa
-    FROM agg, pe
+    FROM vals
     """
 
     grid_selects = []
@@ -1230,8 +1331,10 @@ def oracle_sql() -> dict[str, str]:
     vec_sums = ", ".join(
         f"CAST(sum(k{j} * tf) AS BIGINT) AS n{j}" for j in range(EMB_DIM)
     )
-    vec_list = ", ".join(
-        f"floor(n{j} / (w * 1000.0) * 1e6 + 0.5) / 1e6" for j in range(EMB_DIM)
+    comp_rows = "\n    UNION ALL ".join(
+        f"SELECT doc_id, n_terms, CAST({j} AS INTEGER) AS ix, "
+        f"floor(n{j} / (w * 1000.0) * 1e6 + 0.5) / 1e6 AS comp FROM agg"
+        for j in range(EMB_DIM)
     )
     sql["doc_embeddings"] = f"""
     WITH {_TOK},
@@ -1243,7 +1346,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, CAST(sum(tf) AS BIGINT) AS w, {vec_sums}, count(*) AS n_terms
       FROM j GROUP BY doc_id
     )
-    SELECT doc_id, [{vec_list}] AS vec, n_terms FROM agg
+    {comp_rows}
     """
 
     sql["ql_dirichlet_topk_indexed"] = sql["ql_dirichlet_topk"]
@@ -1304,6 +1407,8 @@ def oracle_sql() -> dict[str, str]:
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9
     """
+    # the LSH path is exact on this data (see q_embedding_neardup_lsh)
+    sql["embedding_neardup_lsh"] = sql["embedding_neardup"]
 
     sql["trec_run"] = f"""
     WITH {_TOK}, {_BM25_SCORED},

@@ -84,3 +84,13 @@ def ql_jm_term_score(tf: Column, doc_len: Column, bg_prob: Column, alpha: float 
 def ql_laplace_term_score(tf: Column, doc_len: Column) -> Column:
     """Laplace (QueryLikelihood.hs:54-57): log((tf+1)/(len+2))."""
     return F.log((tf.cast("double") + F.lit(1.0)) / (doc_len.cast("double") + F.lit(2.0)))
+
+
+def ql_nosmoothing_term_score(tf: Column, doc_len: Column) -> Column:
+    """NoSmoothing (QueryLikelihood.hs:44-47): log(tf/len); a query term
+    absent from the document has probability 0 — `Log Double` zero is
+    -inf, pinning the whole document score (only docs containing EVERY
+    query term score finite)."""
+    return F.when(
+        tf > 0, F.log(tf.cast("double") / doc_len.cast("double"))
+    ).otherwise(F.lit(float("-inf")))

@@ -7,20 +7,32 @@ numpy; language ID runs its profile votes over unique tokens per batch.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# A compact English stopword set (the reference embeds the 418-word
-# InQuery list, simplir-stop-words/data/inquery-en.txt; ours is pluggable —
+from simplir_spark.functions.tokenize import _factorize_flat
+
+# A compact English stopword set for the quality heuristics (pluggable —
 # pass any list to the *_ratio helpers).
 STOPWORDS_EN = [
     "the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "with",
     "is", "are", "was", "were", "be", "been", "it", "this", "that", "as",
     "at", "by", "from", "not", "but", "they", "their", "there", "then",
 ]
+
+
+def inquery_stopwords() -> list[str]:
+    """The 418-word InQuery English stopword list the reference embeds
+    (simplir-stop-words/src/SimplIR/StopWords.hs:9-20, data file
+    simplir-stop-words/data/inquery-en.txt) — the Search2-pipeline default."""
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "inquery_en.txt")
+    with open(path, encoding="utf-8") as f:
+        return [w.strip() for w in f if w.strip()]
 
 # tiny per-language profile word sets for the n-gram/stopword-vote lang id
 _LANG_PROFILES: dict[str, set[str]] = {
@@ -84,30 +96,71 @@ def doc_fingerprint(tokenized: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# Winnowing k-gram hash: polynomial rolling hash over md5-derived 31-bit
+# token hashes.  Both constants fit the no-overflow envelope on BOTH
+# engines: token hash < 2^31, power < 2^31 -> product < 2^62 (int64 /
+# BIGINT safe), sum of k mod-reduced terms < k*2^31 (safe), one final mod.
+WINNOW_MOD = (1 << 31) - 1
+WINNOW_BASE = 1_000_003
+
+
+def winnow_token_hash_sql(tok_expr: str) -> str:
+    """DuckDB twin of the per-token hash (first 15 md5 hex = 60-bit int,
+    reduced mod WINNOW_MOD) — used by the contract oracle."""
+    return f"(('0x' || substr(md5({tok_expr}), 1, 15))::BIGINT % {WINNOW_MOD})"
+
+
 def winnowing_fingerprints(tokenized: DataFrame, k: int = 5, window: int = 4,
                            id_col: str = "doc_id") -> DataFrame:
     """Winnowing document fingerprints [Schleimer, Wilkerson, Aiken 2003]:
     k-gram rolling hashes, per-window minima — robust partial-overlap
-    detection.  Arrow-vectorized numpy per batch.
+    detection.
+
+    Fully vectorized: md5 runs once per UNIQUE token in the Arrow batch
+    (flatten + factorize), then every k-gram hash is a numpy polynomial
+    combination — no per-gram Python or hashlib calls.  ``terms`` are the
+    normalizer's alpha-only output, so the fast factorize path is safe.
     """
+    pw = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
+    pw_arr = np.asarray(pw, dtype=np.int64)
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def winnow(term_lists: pd.Series) -> pd.Series:
-        out = []
-        for terms in term_lists:
-            if terms is None or len(terms) < k:
+        import hashlib
+
+        lists = [list(t) if t is not None else [] for t in term_lists]
+        lens = [len(t) for t in lists]
+        flat = np.asarray([tok for t in lists for tok in t], dtype=object)
+        if len(flat):
+            codes, uniques = _factorize_flat(flat, False)
+            uh = np.fromiter(
+                (
+                    (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") >> 4)
+                    % WINNOW_MOD
+                    for u in uniques
+                ),
+                dtype=np.int64,
+                count=len(uniques),
+            )
+            th_all = uh[codes]
+        else:
+            th_all = np.empty(0, dtype=np.int64)
+
+        out, pos = [], 0
+        for ln in lens:
+            th = th_all[pos : pos + ln]
+            pos += ln
+            if ln < k:
                 out.append([])
                 continue
-            import hashlib as _h
-
-            grams = [" ".join(terms[i : i + k]) for i in range(len(terms) - k + 1)]
-            hs = np.array(
-                [int.from_bytes(_h.md5(g.encode()).digest()[:8], "big") >> 4 for g in grams],
-                dtype=np.int64,
-            )
-            if len(hs) <= window:
-                out.append([int(hs.min())])
+            ng = ln - k + 1
+            h = np.zeros(ng, dtype=np.int64)
+            for j in range(k):
+                h = (h + (th[j : j + ng] * pw_arr[j]) % WINNOW_MOD) % WINNOW_MOD
+            if ng <= window:
+                out.append([int(h.min())])
                 continue
-            sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
             mins = sw.min(axis=1)
             out.append(sorted(set(int(x) for x in mins)))
         return pd.Series(out)
@@ -125,26 +178,37 @@ LANG_ID_TYPE = T.StructType(
 
 @F.pandas_udf(LANG_ID_TYPE)
 def lang_id_udf(term_lists: pd.Series) -> pd.DataFrame:
-    """Stopword-profile language vote over unique tokens (heuristic n-gram
-    language ID); 'und' when no profile matches."""
+    """Stopword-profile language vote (heuristic language ID); 'und' when
+    no profile matches.
+
+    Vectorized: the batch's tokens are flattened and factorized ONCE, each
+    profile tests membership against the UNIQUE tokens (np.isin), and
+    per-doc hit counts come from one bincount per language — no per-doc
+    per-token Python loop in the hot path.
+    """
     langs = sorted(_LANG_PROFILES)
-    preds, scores = [], []
-    for terms in term_lists:
-        if terms is None or len(terms) == 0:
-            preds.append("und")
-            scores.append(0.0)
-            continue
-        arr = list(terms)
-        n = len(arr)
-        best_lang, best = "und", 0.0
-        for lg in langs:
-            prof = _LANG_PROFILES[lg]
-            s = sum(1 for t in arr if t in prof) / n
-            if s > best:
-                best_lang, best = lg, s
-        preds.append(best_lang if best > 0 else "und")
-        scores.append(round(best, 6))
-    return pd.DataFrame({"lang_pred": preds, "lang_score": scores})
+    lists = [list(t) if t is not None else [] for t in term_lists]
+    lens = np.asarray([len(t) for t in lists], dtype=np.int64)
+    n_docs = len(lists)
+    flat = np.asarray([tok for t in lists for tok in t], dtype=object)
+    doc_ix = np.repeat(np.arange(n_docs), lens)
+
+    scores = np.zeros((len(langs), n_docs), dtype=np.float64)
+    if len(flat):
+        codes, uniques = _factorize_flat(flat, False)
+        safe_lens = np.maximum(lens, 1).astype(np.float64)
+        for li, lg in enumerate(langs):
+            mask_u = np.isin(uniques, sorted(_LANG_PROFILES[lg]))
+            hit = mask_u[codes]
+            hits = np.bincount(doc_ix[hit], minlength=n_docs)
+            scores[li] = hits / safe_lens
+
+    best_ix = scores.argmax(axis=0) if n_docs else np.empty(0, dtype=np.int64)
+    best = scores[best_ix, np.arange(n_docs)] if n_docs else np.empty(0)
+    preds = [langs[best_ix[i]] if best[i] > 0 else "und" for i in range(n_docs)]
+    return pd.DataFrame(
+        {"lang_pred": preds, "lang_score": np.round(best, 6)}
+    )
 
 
 def lang_id(df: DataFrame, tokens_col: str = "terms", id_col: str = "doc_id") -> DataFrame:

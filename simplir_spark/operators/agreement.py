@@ -4,6 +4,11 @@
 Both are single-aggregation DataFrame computations: observed agreement and
 chance agreement come from grouped counts (monoidal partial aggregation,
 exactly the reference's fold shape).
+
+Cross-engine exactness: every probability is formed as ONE division of
+exact integer aggregates (agree counts, squared label counts), so a SQL
+oracle computing the same integer sums produces bit-identical doubles —
+no dependence on float summation order.
 """
 
 from __future__ import annotations
@@ -12,61 +17,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def cohen_kappa(a: DataFrame, b: DataFrame, item_col: str = "item", label_col: str = "label") -> DataFrame:
+def cohen_kappa(
+    a: DataFrame, b: DataFrame, item_col: str = "item", label_col: str = "label"
+) -> DataFrame:
     """Cohen's kappa between two assessors over shared items.
 
-    a/b: (item, label).  kappa = (po - pe) / (1 - pe) with po = observed
-    agreement rate, pe = sum_k pA(k)·pB(k) (Agreement.hs `cohenKappa`).
-    Returns one row (n_items, po, pe, kappa).
+    a/b: (item, label), one label per item per side (duplicates are
+    dropped deterministically).  kappa = (po - pe) / (1 - pe) with
+    po = observed agreement rate, pe = sum_k pA(k)·pB(k)
+    (Agreement.hs `cohenKappa`).  Returns one row (n_items, po, pe, kappa).
     """
-    j = a.select(item_col, F.col(label_col).alias("_la")).join(
-        b.select(item_col, F.col(label_col).alias("_lb")), item_col
-    )
-    j = j.cache()
+    a1 = a.select(item_col, F.col(label_col).alias("_la")).dropDuplicates([item_col])
+    b1 = b.select(item_col, F.col(label_col).alias("_lb")).dropDuplicates([item_col])
+    j = a1.join(b1, item_col).cache()
     n = j.count()
+    spark = a.sparkSession
     if n == 0:
-        spark = a.sparkSession
         return spark.createDataFrame(
             [(0, 0.0, 0.0, 0.0)], "n_items long, po double, pe double, kappa double"
         )
-    po_row = j.agg(
-        (F.sum(F.when(F.col("_la") == F.col("_lb"), 1).otherwise(0)) / F.lit(float(n))).alias("po")
-    ).collect()[0]
-    po = float(po_row["po"])
+    agree = j.filter(F.col("_la") == F.col("_lb")).count()
     ma = {r["_la"]: r["c"] for r in j.groupBy("_la").agg(F.count(F.lit(1)).alias("c")).collect()}
     mb = {r["_lb"]: r["c"] for r in j.groupBy("_lb").agg(F.count(F.lit(1)).alias("c")).collect()}
-    pe = sum((ma.get(k, 0) / n) * (mb.get(k, 0) / n) for k in set(ma) | set(mb))
-    kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else 1.0
     j.unpersist()
-    spark = a.sparkSession
+    # exact integer sums -> single divisions (deterministic doubles)
+    cross = sum(ma[k] * mb.get(k, 0) for k in sorted(ma))
+    po = agree / n
+    pe = cross / (n * n)
+    kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else 1.0
     return spark.createDataFrame(
         [(n, po, pe, kappa)], "n_items long, po double, pe double, kappa double"
     )
 
 
-def fleiss_kappa(assessments: DataFrame, item_col: str = "item", label_col: str = "label") -> DataFrame:
+def fleiss_kappa(
+    assessments: DataFrame, item_col: str = "item", label_col: str = "label"
+) -> DataFrame:
     """Fleiss' kappa over (item, label) rows, one row per (assessor, item)
     vote; requires the same number of assessors n per item
-    (Agreement.hs `fleissKappa`).  Returns one row (n_items, n_raters,
-    p_bar, p_e, kappa).
+    (Agreement.hs `fleissKappa`) — validated, not silently assumed.
+    Returns one row (n_items, n_raters, p_bar, p_e, kappa).
     """
     counts = assessments.groupBy(item_col, label_col).agg(F.count(F.lit(1)).alias("nij"))
+    counts = counts.cache()
     per_item = counts.groupBy(item_col).agg(
         F.sum("nij").alias("n"),
         F.sum(F.col("nij") * F.col("nij")).alias("sq"),
     )
     row = per_item.agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.first("n").alias("n_raters"),
-        F.avg((F.col("sq") - F.col("n")) / (F.col("n") * (F.col("n") - 1))).alias("p_bar"),
+        F.max("n").alias("n_max"),
+        F.min("n").alias("n_min"),
+        F.sum("sq").alias("s_sq"),
+        F.sum("n").alias("s_n"),
     ).collect()[0]
-    n_items, n_raters, p_bar = int(row["n_items"]), int(row["n_raters"]), float(row["p_bar"])
-    total = assessments.count()
-    pj = [
-        (r["c"] / total)
-        for r in assessments.groupBy(label_col).agg(F.count(F.lit(1)).alias("c")).collect()
-    ]
-    p_e = sum(p * p for p in pj)
+    n_items = int(row["n_items"])
+    n_raters = int(row["n_max"])
+    if n_raters != int(row["n_min"]):
+        raise ValueError(
+            f"fleiss_kappa requires equal raters per item; saw "
+            f"min={row['n_min']} max={row['n_max']}"
+        )
+    if n_raters < 2:
+        raise ValueError("fleiss_kappa requires >= 2 raters per item")
+    s_sq, s_n = int(row["s_sq"]), int(row["s_n"])
+    # sum over labels of (total votes for label)^2, as ONE exact integer
+    sc_row = (
+        counts.groupBy(label_col)
+        .agg(F.sum("nij").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("sc"))
+        .collect()[0]
+    )
+    counts.unpersist()
+    sc = int(sc_row["sc"])
+    # single divisions of exact integers: bit-identical across engines
+    p_bar = (s_sq - s_n) / (n_items * n_raters * (n_raters - 1))
+    p_e = sc / (s_n * s_n)
     kappa = (p_bar - p_e) / (1.0 - p_e) if p_e < 1.0 else 1.0
     spark = assessments.sparkSession
     return spark.createDataFrame(

@@ -31,11 +31,13 @@ def _md5_60(col):
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
     """(id, canonical_id, group_size) — canonical = min id per content hash.
 
-    Scale: the window partitions by the content hash; equivalent to a
-    groupBy + self-broadcast, one shuffle on the hash.
+    Scale: the hash is PROJECTED FIRST so the shuffle carries only
+    (id, 16-byte hash) rows — the raw content column never crosses the
+    wire (one shuffle on the hash, window over the slim projection).
     """
-    w = Window.partitionBy(F.md5(F.col(content_col)))
-    return docs.select(
+    slim = docs.select(F.col(id_col), F.md5(F.col(content_col)).alias("_h"))
+    w = Window.partitionBy("_h")
+    return slim.select(
         F.col(id_col),
         F.min(id_col).over(w).alias("canonical_id"),
         F.count(F.lit(1)).over(w).alias("group_size"),

@@ -52,16 +52,24 @@ FEATURE_SCHEMA = (
 )
 
 
-def _fake_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic fake 'decoder': md5-seeded feature vector.
+def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'decoder': md5-derived feature vector.
 
     Stands in for image-decode + embedding until codecs are available;
     keeps every Spark-side contract (batch shape, dtype, determinism)
-    real and testable.
+    real and testable.  Component j = (first 60 md5 bits of
+    payload||':'||j) % 1000 / 1000 — reproducible in ANSI SQL, so the
+    driver's DuckDB oracle fully checks the plumbing end to end.
     """
-    h = hashlib.md5(payload).digest()
-    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
-    return rng.rand(dim)
+    return [
+        (
+            int.from_bytes(hashlib.md5(payload + f":{j}".encode()).digest()[:8], "big")
+            >> 4
+        )
+        % 1000
+        / 1000.0
+        for j in range(dim)
+    ]
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -75,9 +83,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "media decoding requires PIL/libav (not in this container); "
                     "set SIMPLIR_FAKE_DECODE=1 for the deterministic test path"
                 )
-            feats = [
-                _fake_decode_features(bytes(p), dim).tolist() for p in pdf["payload"]
-            ]
+            feats = [_fake_decode_features(bytes(p), dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

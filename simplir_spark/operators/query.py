@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from simplir_spark.functions.scoring import (
     B_DEFAULT,
     K1_DEFAULT,
@@ -26,10 +28,11 @@ from simplir_spark.functions.scoring import (
     ql_dirichlet_term_score,
     ql_jm_term_score,
     ql_laplace_term_score,
+    ql_nosmoothing_term_score,
     tfidf_term_score,
 )
 from simplir_spark.functions.tokenize import with_tokens
-from simplir_spark.operators.stats import corpus_stats, doc_term_tfs, term_stats
+from simplir_spark.operators.stats import doc_term_tfs, term_stats
 
 
 def queries_df(spark: SparkSession, queries: list[tuple[str, list[str]]]) -> DataFrame:
@@ -71,11 +74,17 @@ def bm25_scan(
     near-ties (float summation-order noise) rank deterministically across
     engines — used by the DuckDB-oracle driver contract.
     """
-    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len", "doc_len_alnum")
-    pairs = doc_term_tfs(tokenized)  # (doc_key, doc_len, term, tf)
+    # ONE tokenizer pass: persist the aggregated (doc, term, tf) pairs —
+    # far smaller than the tokenized corpus, disk-backed — and derive the
+    # background stats FROM them (token_count = Σtf; doc_count is a
+    # column-pruned row count, no tokenize).  The reference makes two
+    # passes (stats fold, then scoring fold); Spark doesn't need to.
+    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len")
+    pairs = doc_term_tfs(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
 
-    cs = corpus_stats(tokenized).collect()[0]
-    doc_count, token_count = cs.doc_count, cs.token_count
+    doc_count = corpus.count()
+    tc_row = pairs.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tc")).collect()[0]
+    token_count = int(tc_row["tc"])
     avg_doc_len = token_count / doc_count if doc_count else 1.0
 
     qdf = queries_df(spark, queries)
@@ -112,7 +121,7 @@ def bm25_scan(
             .groupBy("query_id", "doc_key")
             .agg(F.sum("term_score").alias("score"))
         )
-    elif model in ("ql_dirichlet", "ql_jm", "ql_laplace"):
+    elif model in ("ql_dirichlet", "ql_jm", "ql_laplace", "ql_nosmoothing"):
         # query-likelihood family (QueryLikelihood.hs:38-73): log-domain
         # sum over ALL query terms (absent terms contribute the smoothed
         # background probability); docs qualify via the match-any union.
@@ -134,6 +143,8 @@ def bm25_scan(
             per_term = ql_dirichlet_term_score(F.col("tf"), F.col("doc_len"), bg, mu)
         elif model == "ql_jm":
             per_term = ql_jm_term_score(F.col("tf"), F.col("doc_len"), bg, jm_alpha)
+        elif model == "ql_nosmoothing":
+            per_term = ql_nosmoothing_term_score(F.col("tf"), F.col("doc_len"))
         else:
             per_term = ql_laplace_term_score(F.col("tf"), F.col("doc_len"))
         scored = (
@@ -143,6 +154,11 @@ def bm25_scan(
             .groupBy("query_id", "doc_key")
             .agg(F.sum("term_score").alias("score"))
         )
+        if model == "ql_nosmoothing":
+            # -inf == some query term absent (Log Double zero); those docs
+            # can never rank above a full match — drop them (the NaN/Inf
+            # score filter the reference applies before ranking)
+            scored = scored.filter(F.col("score") > F.lit(float("-inf")))
     else:
         raise ValueError(f"unknown model {model}")
 

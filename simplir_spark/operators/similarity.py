@@ -209,7 +209,10 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
     )
     if method == "lsh":
-        joined = cand.join(left, "id_a").join(F.broadcast(right), "id_b")
+        # shuffle hash joins on the id keys: candidate pairs are the small
+        # side post-LSH, and NEITHER embedding side is broadcast — at corpus
+        # scale a full-table broadcast would OOM the executors
+        joined = cand.join(left, "id_a").join(right, "id_b")
     else:
         # one streamed pass: left side scans, right side broadcasts with its
         # vectors — no N^2 id-pair shuffle
