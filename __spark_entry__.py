@@ -249,6 +249,33 @@ def q_query_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("doc_key", "doc_id")
 
 
+# FeatureNode tree (Query.hs:179-182): two L2R feature leaves whose weights
+# come from the parameter set by feature name (featureParameterName)
+DSL_FEATURES_TREE = {
+    "type": "sum",
+    "children": [
+        {"type": "feature", "name": "f_bm25",
+         "child": {"type": "retrieve", "model": "bm25", "terms": ["join", "hash"]}},
+        {"type": "feature", "name": "f_tfidf",
+         "child": {"type": "retrieve", "model": "tfidf", "terms": ["merge"]}},
+    ],
+}
+DSL_FEATURE_WEIGHTS = {"f_bm25": 2.0, "f_tfidf": 0.5}
+
+
+def q_query_dsl_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureNode + named-intermediate recording (Streaming.hs:294-301):
+    per-doc recorded feature columns next to the weighted score — the
+    kba-streaming feature-extraction workflow that feeds L2R."""
+    from simplir_spark.plans.query_dsl import compile_query
+
+    res = compile_query(
+        spark, _corpus(spark, sf_dir), DSL_FEATURES_TREE, k=K,
+        params=DSL_FEATURE_WEIGHTS, round_dp=DP, with_features=True,
+    )
+    return res.withColumnRenamed("doc_key", "doc_id")
+
+
 def q_ql_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_scan(
         spark, _corpus(spark, sf_dir), QL_QUERIES, k=K, model="ql_jm", jm_alpha=0.5, round_dp=DP
@@ -461,6 +488,30 @@ def q_l2r_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal (simplir-html-clean Clean.hs:36-84) over a
+    deterministic HTML wrapping of the documents table: script/nav
+    subtrees must vanish, block tags become spaces, title extracted from
+    head.  The oracle computes the expected extraction in SQL."""
+    from simplir_spark.functions.html_clean import html_clean
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+            F.lit("</title></head><body><script>var x = 1;</script><p>"),
+            F.col("text"),
+            F.lit("</p><nav><ul><li>skip</li></ul></nav></body></html>"),
+        ).alias("html"),
+    )
+    out = html_clean(docs)
+    return out.select(
+        "doc_id", "title",
+        F.md5(F.col("body")).alias("body_md5"),
+        F.length("body").cast("long").alias("body_len"),
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplir_spark.functions.text import token_counts
 
@@ -622,11 +673,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "rm1_expansion": q_rm1_expansion,
         "query_dsl": q_query_dsl,
+        "query_dsl_features": q_query_dsl_features,
         "ql_jm_topk": q_ql_jm_topk,
         "ql_laplace_topk": q_ql_laplace_topk,
         "ql_nosmoothing_topk": q_ql_nosmoothing_topk,
         "stopword_stats": q_stopword_stats,
         "lang_id": q_lang_id,
+        "html_clean": q_html_clean,
         "prec_at_k": q_prec_at_k,
         "reciprocal_rank": q_reciprocal_rank,
         "winnowing": q_winnowing,
@@ -983,6 +1036,36 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, rank, score FROM ranked WHERE rank <= {K}
     """
 
+    sql["query_dsl_features"] = f"""
+    WITH {_TOK},
+    leafagg AS (
+      SELECT tf.doc_id,
+        sum(CASE WHEN term IN ('hash', 'join') THEN
+          ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * {1.1 + 1.0!r}
+          / (tf.tf + 1.1 * (0.6 + 0.4 * dl.dl / (s.tok_cnt / s.n)))
+          ELSE 0.0 END) AS leaf0,
+        sum(CASE WHEN term IN ('merge') THEN tf.tf * ln(s.n / (1.0 + df.df)) ELSE 0.0 END) AS leaf1
+      FROM tf
+      JOIN df USING (term)
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      WHERE term IN ('hash', 'join', 'merge')
+      GROUP BY tf.doc_id
+    ),
+    dslscored AS (
+      SELECT doc_id, round(2.0 * leaf0 + 0.5 * leaf1, 6) AS score,
+             round(leaf0, 6) AS f_bm25, round(leaf1, 6) AS f_tfidf
+      FROM leafagg
+    ),
+    ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+             score, f_bm25, f_tfidf
+      FROM dslscored
+    )
+    SELECT doc_id, rank, score, f_bm25, f_tfidf FROM ranked WHERE rank <= {K}
+    """
+
     sql["rm1_expansion"] = f"""
     WITH {_TOK}, {_BM25_SCORED},
     ranked AS (
@@ -1137,6 +1220,17 @@ def oracle_sql() -> dict[str, str]:
       CASE WHEN b.m IS NULL OR b.m <= 0 THEN 'und' {lang_pred_case} END AS lang_pred,
       round(coalesce(b.m, 0.0), 6) AS lang_score
     FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+    """
+
+    # expected cleaner output for the deterministic wrapper (see
+    # q_html_clean): script+nav subtrees dropped; <body> is not
+    # block-level, <p>/</p> each map to one space -> body = ' '||text||' '
+    sql["html_clean"] = """
+    SELECT doc_id,
+           'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           md5(' ' || text || ' ') AS body_md5,
+           CAST(length(' ' || text || ' ') AS BIGINT) AS body_len
+    FROM documents
     """
 
     sql["prec_at_k"] = f"""

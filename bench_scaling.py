@@ -185,6 +185,13 @@ def main() -> None:
         factor,
     )
     eff_norm_paired = engine_ratio / paired
+    # per-repeat efficiency spread (i-th lo repeat paired with i-th hi
+    # repeat): the honest dispersion behind the min-based headline
+    n_lo, n_hi = amp[0]["n_docs"], amp[1]["n_docs"]
+    eff_amp_all = [
+        round((n_hi / bh) / (factor * (n_lo / bl)), 3)
+        for bl, bh in zip(amp[0]["all_build_sec"], amp[1]["all_build_sec"])
+    ]
 
     stage_rows = []
     for st in sorted(set(amp[0]["stages"]) | set(amp[1]["stages"])):
@@ -226,8 +233,15 @@ parallel fraction.
 | local[{lo}] | {amp[0]['build_sec']} | {amp[0]['files_per_sec']} | {amp[0]['query_sec']} |
 | local[{hi}] | {amp[1]['build_sec']} | {amp[1]['files_per_sec']} | {amp[1]['query_sec']} |
 
-Raw scaling efficiency ({lo}→{hi} cores, data-dominated): **{eff_amp:.3f}**
-(= files_per_sec[{hi}] / ({factor:.0f} × files_per_sec[{lo}]))
+**HEADLINE — raw scaling efficiency ({lo}→{hi} cores, data-dominated):
+{eff_amp:.3f}** (= files_per_sec[{hi}] / ({factor:.0f} × files_per_sec[{lo}]),
+min-of-{repeats}).  Per-repeat spread (i-th lo repeat paired with i-th hi
+repeat): {eff_amp_all} — this host has 2-4× tenant noise; the spread is
+reported so the min-based headline can be judged against it.  The
+ceiling-normalized figures below are SECONDARY diagnostics: they explain
+how much of the gap to 1.0 is shared-host clock throttling/SMT rather
+than engine serialization, and both clamps in that normalization can only
+raise the normalized number, never lower it.
 
 Per-stage wall seconds (best amplified build):
 
@@ -244,16 +258,17 @@ throttles per-core clocks as more cores engage, and cores {lo + 1}..{hi}
 share physical resources (SMT).  Even a perfectly parallel job cannot
 exceed that ratio here; a real cluster adds independent machines instead.
 
-**Engine efficiency normalized by the hardware ceiling:
-{eff_norm:.3f}** (= measured engine ratio {engine_ratio:.2f}× / ceiling {ceiling_ratio:.2f}×).
-This is the cluster-relevant number for the N→4N criterion: it isolates
-the engine's parallel fraction (shuffle topology, partitioning, absence
-of driver bottlenecks) from the shared-host artifacts.  The residual gap
-to 1.0 is fixed per-build overhead (checkpointed-stage scheduling and
-parquet commits) plus the single shared shuffle disk.
+Secondary (ceiling-normalized) engine efficiency: **{eff_norm:.3f}**
+(= measured engine ratio {engine_ratio:.2f}× / ceiling {ceiling_ratio:.2f}×).
+It isolates the engine's parallel fraction (shuffle topology,
+partitioning, absence of driver bottlenecks) from the shared-host
+artifacts, at the cost of a normalization that clamps lo-side noise —
+read it alongside the raw headline above, not instead of it.  The
+residual gap to 1.0 is fixed per-build overhead (checkpointed-stage
+scheduling and parquet commits) plus the single shared shuffle disk.
 
 ```json
-{json.dumps({"raw": raw, "amplified": amp, "eff_raw": round(eff_raw, 3), "eff_amplified": round(eff_amp, 3), "hardware_ceiling_ratio": round(ceiling_ratio, 3), "eff_normalized": round(eff_norm, 3), "paired_ceiling_ratio": round(paired, 3), "eff_normalized_paired": round(eff_norm_paired, 3)})}
+{json.dumps({"raw": raw, "amplified": amp, "eff_raw": round(eff_raw, 3), "eff_amplified": round(eff_amp, 3), "eff_amplified_all": eff_amp_all, "hardware_ceiling_ratio": round(ceiling_ratio, 3), "eff_normalized": round(eff_norm, 3), "paired_ceiling_ratio": round(paired, 3), "eff_normalized_paired": round(eff_norm_paired, 3)})}
 ```
 """
         )
@@ -263,7 +278,7 @@ parquet commits) plus the single shared shuffle disk.
                 "raw": raw,
                 "amplified": amp,
                 "eff_raw": round(eff_raw, 3),
-                "eff_amplified": round(eff_amp, 3),
+                "eff_amplified": round(eff_amp, 3), "eff_amplified_all": eff_amp_all,
                 "hardware_ceiling_ratio": round(ceiling_ratio, 3),
                 "eff_normalized": round(eff_norm, 3),
                 "paired_ceiling_ratio": round(paired, 3),

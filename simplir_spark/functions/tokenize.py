@@ -135,13 +135,19 @@ def _factorize_flat(all_toks: np.ndarray, has_nul: bool) -> tuple[np.ndarray, np
     return inv, np.asarray(uniq, dtype=object)
 
 
-def tokenize_batch(texts: pd.Series) -> pd.DataFrame:
+def tokenize_batch(texts: pd.Series, max_token_len: int | None = None) -> pd.DataFrame:
     """Vectorized tokenize over a batch of documents.
 
     Returns a DataFrame with columns:
       terms          list[str]  — normalized term sequence (dups kept)
       doc_len        int32      — len(terms)  (SimpleIndex.hs:94-98)
       doc_len_alnum  int32      — alnum raw-token count (Search.hs:458-460)
+
+    ``max_token_len`` is the Search2-pipeline length cap
+    (Search2.hs:229-230 `goodLen`: 2 < len < max, applied to the RAW
+    pre-normalization token) — unbounded tokens (minified JS, base64
+    blobs) otherwise inflate the term dictionary at corpus scale.
+    doc_len_alnum stays cap-free by definition (a Search.hs statistic).
     """
     texts = texts.fillna("")
     # kill punctuation + split: pandas str ops (cython loop over the batch)
@@ -170,6 +176,12 @@ def tokenize_batch(texts: pd.Series) -> pd.DataFrame:
     inv, uniq = _factorize_tokens(all_toks, texts)
     norm_u = _norm_unique(uniq)
     alnum_u = _alnum_unique(uniq)
+    if max_token_len is not None:
+        # raw-token length cap, evaluated once per UNIQUE token
+        too_long = np.fromiter(
+            (len(t) >= max_token_len for t in uniq), dtype=bool, count=len(uniq)
+        )
+        norm_u = np.where(too_long, "", norm_u)
 
     norm_all = norm_u[inv]
     alnum_all = alnum_u[inv]
@@ -317,15 +329,34 @@ def tokenize_udf(texts: pd.Series) -> pd.DataFrame:
     return tokenize_batch(texts)
 
 
-def with_tokens(df, text_col: str = "content", stopwords: list[str] | None = None):
+def tokenize_udf_capped(max_token_len: int):
+    """tokenize_udf with the Search2 raw-token length cap baked in."""
+
+    @F.pandas_udf(TOKENIZE_RESULT_TYPE)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        return tokenize_batch(texts, max_token_len=max_token_len)
+
+    return _udf
+
+
+def with_tokens(
+    df,
+    text_col: str = "content",
+    stopwords: list[str] | None = None,
+    max_token_len: int | None = None,
+):
     """Append terms/doc_len/doc_len_alnum columns to a corpus DataFrame.
 
     ``stopwords`` enables the Search2-pipeline variant (optional stopword
     drop after normalization, simplir-stop-words/StopWords.hs:9-20 used at
     Search2.hs:231): terms and doc_len reflect the filtered list;
     doc_len_alnum stays the pre-filter alnum-token count by definition.
+    ``max_token_len`` is Search2's raw-token length cap (Search2.hs:229-230,
+    `len < 100` in the reference pipeline).
     """
-    tok = tokenize_udf(F.col(text_col))
+    tok = (
+        tokenize_udf_capped(max_token_len) if max_token_len is not None else tokenize_udf
+    )(F.col(text_col))
     out = (
         df.withColumn("_tok", tok)
         .withColumn("terms", F.col("_tok.terms"))

@@ -65,15 +65,32 @@ from simplir_spark.sources.corpus import with_integrity
 
 RUN_SIZE_DEFAULT = 1 << 14  # postings per run chunk — DiskIndex.hs:117-119
 
+# Target docs per bucket-aligned partition: the reference's chunkSize
+# (SimpleIndex.hs:100, 64000 docs/chunk).  Bounds the partition run
+# encoder's working set — make_partition_run_encoder holds ONE partition's
+# exploded postings in numpy while encoding, so partition size must scale
+# with this constant, not with corpus/shuffle-partitions.
+DOCS_PER_BUCKET_DEFAULT = 64_000
+# bucket_expr embeds the cuts as a literal array in the plan; cap the
+# auto-computed bucket count so the expression stays broadcastable.  At
+# 10^12 docs the cap yields ~30M docs/bucket — override n_partitions (and
+# accept a larger cuts array) or raise docs_per_bucket consciously.
+MAX_AUTO_PARTITIONS = 32_768
+
 
 # ---------------------------------------------------------------------------
 # Dense doc-id assignment
 # ---------------------------------------------------------------------------
 
 
-def sample_boundaries(df: DataFrame, key_col: str, n_buckets: int, seed: int = 42) -> list[str]:
-    """Deterministic range-bucket boundaries for ``key_col`` (n_buckets-1 cuts)."""
-    n = df.count()
+def sample_boundaries(
+    df: DataFrame, key_col: str, n_buckets: int, seed: int = 42, n: int | None = None
+) -> list[str]:
+    """Deterministic range-bucket boundaries for ``key_col`` (n_buckets-1 cuts).
+
+    ``n`` skips the row count when the caller already knows it."""
+    if n is None:
+        n = df.count()
     if n == 0 or n_buckets <= 1:
         return []
     target = min(n, max(n_buckets * 200, 10_000))
@@ -419,6 +436,7 @@ def build_index(
     run_size: int = RUN_SIZE_DEFAULT,
     params_fp: dict | None = None,
     with_positions: bool = False,
+    docs_per_bucket: int = DOCS_PER_BUCKET_DEFAULT,
 ) -> IndexPaths:
     """Build a complete index directory from a corpus DataFrame.
 
@@ -426,9 +444,19 @@ def build_index(
     a previous run (kill/re-run safe).  ``with_positions`` builds the
     positional payload (per-posting occurrence positions) — DiskIndex's
     payload genericity (Types.hs:139-158).
+
+    When ``n_partitions`` is not given it SCALES WITH THE CORPUS:
+    ceil(n_docs / docs_per_bucket) buckets (floor: shuffle partitions,
+    cap: MAX_AUTO_PARTITIONS) — bounding the per-task memory of the
+    partition run encoder regardless of corpus size, like the reference's
+    fixed 64000-doc chunks.
     """
+    n_docs_known: int | None = None
     if n_partitions is None:
-        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_docs_known = corpus.select("doc_key").count()  # column-pruned
+        need = -(-n_docs_known // docs_per_bucket) if n_docs_known else 1
+        n_partitions = max(shuffle_p, min(MAX_AUTO_PARTITIONS, need))
     paths = IndexPaths(out_dir)
     runner = PipelineRunner(
         out_dir,
@@ -449,7 +477,7 @@ def build_index(
         # never materialized (each doc stores distinct terms + tfs).
         src = with_integrity(corpus)
         slim = src.select("doc_key")
-        cuts = sample_boundaries(slim, "doc_key", n_partitions)  # slim sample
+        cuts = sample_boundaries(slim, "doc_key", n_partitions, n=n_docs_known)
         offsets = bucket_offsets(slim, "doc_key", cuts)          # slim agg
         with open(os.path.join(out_dir, "_bucket_cuts.json"), "w") as f:
             json.dump(cuts, f)

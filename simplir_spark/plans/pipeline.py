@@ -103,9 +103,10 @@ class PipelineRunner:
 
             parts: dict[int, int] = {}
             sizes = []
-            for i, fn in enumerate(sorted(os.listdir(out))):
-                if not fn.endswith(".parquet"):
-                    continue
+            # enumerate ONLY the parquet part files: _SUCCESS/.crc entries
+            # would otherwise shift the enumerate index off the partition id
+            part_files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+            for i, fn in enumerate(part_files):
                 p = os.path.join(out, fn)
                 parts[i] = int(pq.ParquetFile(p).metadata.num_rows)
                 sizes.append(os.path.getsize(p))

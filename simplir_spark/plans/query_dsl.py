@@ -4,14 +4,33 @@
 
 Node forms (JSON-ish dicts):
   {"type": "const",   "value": 1.5}
-  {"type": "sum",     "children": [...]}
-  {"type": "product", "children": [...]}
-  {"type": "scale",   "factor": 2.0, "child": ...}          # factor may be "{{param}}"
+  {"type": "sum",     "children": [...], "record": "name"?}
+  {"type": "product", "children": [...], "record": "name"?}
+  {"type": "scale",   "factor": 2.0, "child": ..., "record": "name"?}
+                                # factor may be "{{param}}"
   {"type": "retrieve", "model": "bm25"|"tfidf"|"ql_dirichlet",
    "terms": ["..."], "params": {"k1": ..., "b": ...}}
   {"type": "cond", "predicate_terms": ["..."], "negated": false,
    "then": ..., "else": ...}    # then-branch iff doc contains ALL predicate
                                 # terms (xor negated) — Streaming.hs:304-318
+  {"type": "feature", "name": "f", "log": false, "child": ..., "weight"?: w}
+                                # L2R leaf (Query.hs FeatureNode:179-182,
+                                # interpreter Streaming.hs:294-301): the
+                                # child's score (ln'd when log) is RECORDED
+                                # under `name`, then scaled by the weight —
+                                # resolved from compile params[`name`]
+                                # (featureParameterName), explicit "weight"
+                                # field wins, default 1.0
+  {"type": "drop"}              # DropNode (Query.hs:163, Streaming.hs
+                                # `go DropNode = const Nothing`): poisons
+                                # the containing sum/product so the doc is
+                                # excluded — Spark NULL propagation models
+                                # the reference's Maybe exactly
+
+`record` on sum/product/scale mirrors Query.hs `recordOutput`: the node's
+value (post-scale) is emitted as a named per-doc column when the query is
+compiled with ``with_features=True`` — the kba-streaming feature-extraction
+workflow that feeds learning-to-rank.
 
 Compilation strategy (one corpus pass, Catalyst all the way):
   1. statically collect retrieval leaves + cond predicates
@@ -32,6 +51,7 @@ from __future__ import annotations
 
 from typing import Any
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -42,7 +62,7 @@ from simplir_spark.functions.scoring import (
 )
 from simplir_spark.functions.tokenize import with_tokens
 from simplir_spark.operators.query import topk_ranked
-from simplir_spark.operators.stats import corpus_stats, doc_term_tfs, term_stats
+from simplir_spark.operators.stats import doc_term_tfs, term_stats
 
 
 def resolve_params(node: Any, params: dict[str, Any]) -> Any:
@@ -66,13 +86,13 @@ def _collect(node: dict, leaves: list[dict], preds: list[list[str]]) -> None:
     elif t in ("sum", "product"):
         for c in node["children"]:
             _collect(c, leaves, preds)
-    elif t == "scale":
+    elif t in ("scale", "feature"):
         _collect(node["child"], leaves, preds)
     elif t == "cond":
         preds.append(sorted(set(node["predicate_terms"])))
         _collect(node["then"], leaves, preds)
         _collect(node["else"], leaves, preds)
-    elif t == "const":
+    elif t in ("const", "drop"):
         pass
     else:
         raise ValueError(f"unknown node type {t}")
@@ -101,9 +121,15 @@ def compile_query(
     k: int = 10,
     params: dict[str, Any] | None = None,
     round_dp: int | None = None,
+    with_features: bool = False,
 ) -> DataFrame:
-    """Evaluate one QueryNode tree over the corpus -> (doc_key, rank, score)."""
-    query = resolve_params(query, params or {})
+    """Evaluate one QueryNode tree over the corpus -> (doc_key, rank, score).
+
+    ``with_features=True`` additionally emits one column per recorded
+    value — `feature` nodes and `record`-annotated nodes — for the L2R
+    feature-extraction workflow (Streaming.hs:294-301 `recording`)."""
+    params = params or {}
+    query = resolve_params(query, params)
     leaves: list[dict] = []
     preds: list[list[str]] = []
     _collect(query, leaves, preds)
@@ -114,12 +140,15 @@ def compile_query(
         {t for lf in leaves for t in lf["terms"]} | {t for pr in preds for t in pr}
     )
 
-    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len", "doc_len_alnum")
-    cs = corpus_stats(tokenized).collect()[0]
-    doc_count, token_count = cs.doc_count, cs.token_count
+    # ONE tokenizer pass (cf. bm25_scan): stats derive from the persisted
+    # pairs; doc_count is a column-pruned row count
+    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len")
+    pairs = doc_term_tfs(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
+    doc_count = corpus.count()
+    tc = pairs.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tc")).collect()[0]["tc"]
+    token_count = int(tc)
     avg_doc_len = token_count / doc_count if doc_count else 1.0
 
-    pairs = doc_term_tfs(tokenized)
     matched = pairs.filter(F.col("term").isin(all_terms))
     ts = term_stats(matched)
     rows = matched.join(F.broadcast(ts), "term")
@@ -138,25 +167,42 @@ def compile_query(
     per_doc = rows.groupBy("doc_key").agg(*aggs)
 
     pred_ix = {tuple(pr): j for j, pr in enumerate(preds)}
+    recorded: dict[str, Column] = {}
+
+    def record(name: str | None, col: Column) -> Column:
+        if name is not None:
+            recorded[name] = col
+        return col
 
     def build(node: dict, leaf_iter=iter(range(len(leaves)))) -> Column:
         t = node["type"]
         if t == "const":
             return F.lit(float(node["value"]))
+        if t == "drop":
+            # Maybe-Nothing: NULL poisons the containing sum/product
+            return F.lit(None).cast("double")
         if t == "sum":
             cols = [build(c, leaf_iter) for c in node["children"]]
             out = cols[0]
             for c in cols[1:]:
                 out = out + c
-            return out
+            return record(node.get("record"), out)
         if t == "product":
             cols = [build(c, leaf_iter) for c in node["children"]]
             out = cols[0]
             for c in cols[1:]:
                 out = out * c
-            return out
+            return record(node.get("record"), out)
         if t == "scale":
-            return F.lit(float(node["factor"])) * build(node["child"], leaf_iter)
+            out = F.lit(float(node["factor"])) * build(node["child"], leaf_iter)
+            return record(node.get("record"), out)
+        if t == "feature":
+            # Streaming.hs:294-301: record(transform(child)), THEN weight
+            child = build(node["child"], leaf_iter)
+            val = F.log(child) if node.get("log", False) else child
+            record(node["name"], val)
+            w = float(node.get("weight", params.get(node["name"], 1.0)))
+            return F.lit(w) * val
         if t == "retrieve":
             return F.col(f"_leaf{next(leaf_iter)}")
         if t == "cond":
@@ -170,14 +216,21 @@ def compile_query(
         raise ValueError(t)
 
     score_col = build(query)
+    feat_cols = list(recorded.items())
     if round_dp is not None:
         score_col = F.round(score_col, round_dp)
-    scored = per_doc.select("doc_key", score_col.alias("score"))
+        feat_cols = [(n, F.round(c, round_dp)) for n, c in feat_cols]
+    extra = [c.alias(n) for n, c in feat_cols] if with_features else []
+    scored = per_doc.select("doc_key", score_col.alias("score"), *extra)
+    # drop-node semantics: a NULL score is the reference's Nothing — the
+    # doc is excluded from the ranking entirely
+    scored = scored.filter(F.col("score").isNotNull())
     # single-query top-k: orderBy+limit (Catalyst TakeOrderedAndProject —
     # partial per-partition top-k), then rank the k survivors
     topk = scored.orderBy(F.desc("score"), F.col("doc_key")).limit(k)
     w = Window.orderBy(F.desc("score"), F.col("doc_key"))
-    return topk.withColumn("rank", F.row_number().over(w)).select("doc_key", "rank", "score")
+    out_cols = ["doc_key", "rank", "score"] + ([n for n, _ in feat_cols] if with_features else [])
+    return topk.withColumn("rank", F.row_number().over(w)).select(*out_cols)
 
 
 def compile_query_grid(
@@ -214,12 +267,15 @@ def compile_query_grid(
         | {t for pr in preds for t in pr}
     )
 
-    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len", "doc_len_alnum")
-    cs = corpus_stats(tokenized).collect()[0]
-    doc_count, token_count = cs.doc_count, cs.token_count
+    # ONE tokenizer pass (cf. bm25_scan): stats derive from the persisted
+    # pairs; doc_count is a column-pruned row count
+    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len")
+    pairs = doc_term_tfs(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
+    doc_count = corpus.count()
+    tc = pairs.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tc")).collect()[0]["tc"]
+    token_count = int(tc)
     avg_doc_len = token_count / doc_count if doc_count else 1.0
 
-    pairs = doc_term_tfs(tokenized)
     matched = pairs.filter(F.col("term").isin(all_terms))
     ts = term_stats(matched)
     rows = matched.join(F.broadcast(ts), "term")

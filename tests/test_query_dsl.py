@@ -152,3 +152,94 @@ def test_parametric_substitution(spark, corpus_small, oracle_idx):
 def test_unbound_param_raises():
     with pytest.raises(KeyError, match="unbound"):
         resolve_params({"type": "scale", "factor": "{{missing}}", "child": {"type": "const", "value": 1}}, {})
+
+
+FEATURE_TREE = {
+    "type": "sum",
+    "children": [
+        {"type": "feature", "name": "f_a",
+         "child": {"type": "retrieve", "model": "bm25", "terms": ["join", "hash"]}},
+        {"type": "feature", "name": "f_b", "log": False,
+         "child": {"type": "retrieve", "model": "tfidf", "terms": ["merge"]}},
+    ],
+}
+
+
+def test_feature_node_records_and_weights(spark, corpus_small, oracle_idx):
+    """FeatureNode (Query.hs:179-182, Streaming.hs:294-301): recorded value
+    is the UNweighted child score; total = sum of weight*feature."""
+    w = {"f_a": 2.0, "f_b": 0.5}
+    got = compile_query(
+        spark, corpus_small, FEATURE_TREE, k=10, params=w, with_features=True
+    ).collect()
+    assert {"f_a", "f_b"} <= set(got[0].asDict())
+    plain = {
+        "type": "sum",
+        "children": [
+            {"type": "scale", "factor": 2.0, "child": FEATURE_TREE["children"][0]["child"]},
+            {"type": "scale", "factor": 0.5, "child": FEATURE_TREE["children"][1]["child"]},
+        ],
+    }
+    want = {(r[1]): r[2] for r in _oracle_topk(oracle_idx, plain, 10)}
+    for r in got:
+        assert abs(r.score - (2.0 * r.f_a + 0.5 * r.f_b)) <= 1e-9 * max(1.0, abs(r.score))
+        assert abs(r.score - want[r.doc_key]) <= 1e-9 * max(1.0, abs(r.score))
+
+
+def test_record_output_on_scale(spark, corpus_small):
+    """`record` mirrors recordOutput: emits the node's post-scale value."""
+    tree = {
+        "type": "scale", "factor": 3.0, "record": "scaled",
+        "child": {"type": "retrieve", "model": "bm25", "terms": ["join"]},
+    }
+    got = compile_query(spark, corpus_small, tree, k=5, with_features=True).collect()
+    for r in got:
+        assert abs(r.scaled - r.score) <= 1e-12  # recorded AFTER scaling
+
+
+def test_drop_node_excludes_docs(spark, corpus_small):
+    """DropNode: the cond-guarded drop poisons the sum -> doc excluded."""
+    base = {"type": "retrieve", "model": "bm25", "terms": ["merge"]}
+    tree = {
+        "type": "sum",
+        "children": [
+            base,
+            {"type": "cond", "predicate_terms": ["dup"], "negated": False,
+             "then": {"type": "drop"}, "else": {"type": "const", "value": 0.0}},
+        ],
+    }
+    kept = {r.doc_key for r in compile_query(spark, corpus_small, tree, k=1000).collect()}
+    all_docs = {r.doc_key for r in compile_query(spark, corpus_small, base, k=1000).collect()}
+    from simplir_spark.functions.tokenize import with_tokens
+    import pyspark.sql.functions as F
+    dup_docs = {
+        r.doc_key
+        for r in with_tokens(corpus_small)
+        .filter(F.array_contains("terms", "dup")).select("doc_key").collect()
+    }
+    assert kept == all_docs - dup_docs
+    assert dup_docs and kept < all_docs
+
+
+def test_l2r_trains_on_dsl_features(spark, corpus_small):
+    """End-to-end kba-streaming workflow: DSL feature extraction feeds
+    coordinate-ascent L2R (LearningToRank.hs consumer side)."""
+    import pyspark.sql.functions as F
+
+    from simplir_spark.operators.ltr import coordinate_ascent
+
+    feats = compile_query(
+        spark, corpus_small, FEATURE_TREE, k=50,
+        params={"f_a": 1.0, "f_b": 1.0}, with_features=True,
+    )
+    features = feats.select(
+        F.lit("Q1").alias("qid"),
+        F.col("doc_key").cast("string").alias("doc"),
+        F.array("f_a", "f_b").alias("features"),
+    )
+    # deterministic synthetic relevance: doc key's last digit parity
+    qrels = features.select(
+        "qid", "doc", (F.col("doc").substr(-1, 1).cast("int") % 2).alias("relevance")
+    )
+    w, m = coordinate_ascent(spark, features, qrels, n_features=2, n_iters=1)
+    assert len(w) == 2 and 0.0 <= m <= 1.0

@@ -153,3 +153,20 @@ def test_jvm_raw_tokens_matches_python_split(spark):
     ]
     want = [t.translate(_KILL_TABLE).split() for t in texts]
     assert got == want
+
+
+def test_max_token_len_cap(spark):
+    """Search2.hs:229-230 goodLen: raw tokens with len >= cap are dropped
+    BEFORE normalization; doc_len reflects it, doc_len_alnum does not."""
+    from simplir_spark.functions.tokenize import with_tokens
+
+    blob = "x" * 150
+    df = spark.createDataFrame(
+        [(1, f"hello {blob} world")], "doc_key long, content string"
+    )
+    capped = with_tokens(df, max_token_len=100).collect()[0]
+    assert list(capped.terms) == ["hello", "world"]
+    assert capped.doc_len == 2
+    assert capped.doc_len_alnum == 3  # alnum count is cap-free
+    uncapped = with_tokens(df).collect()[0]
+    assert list(uncapped.terms) == ["hello", blob, "world"]
