@@ -644,6 +644,19 @@ def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_results_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-posting rows of the results JSON sink (Search.hs:282-313):
+    every query-term occurrence in the BM25 top-k docs, with raw token
+    index AND character offset — only the k docs/query are tokenized."""
+    from simplir_spark.sources.results_json import matched_positions
+
+    run = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP).select(
+        "query_id", "doc_key", "rank", "score"
+    )
+    pos = matched_positions(run, _corpus(spark, sf_dir), QUERIES)
+    return pos.withColumnRenamed("doc_key", "doc_id")
+
+
 def q_trec_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplir_spark.sources.trec import to_trec_run
 
@@ -669,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doclen_histogram": q_doclen_histogram,
         "trec_run": q_trec_run,
+        "results_positions": q_results_positions,
         "map_eval": q_map_eval,
         "windowed_events": q_windowed_events,
         "rm1_expansion": q_rm1_expansion,
@@ -896,7 +910,7 @@ def oracle_sql() -> dict[str, str]:
     ),
     buckets AS (
       SELECT doc_id, h % 4 AS band,
-             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash)) AS bucket
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS bucket
       FROM mh GROUP BY doc_id, h % 4
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1515,5 +1529,35 @@ def oracle_sql() -> dict[str, str]:
     SELECT query_id AS qid, 'Q0' AS q0, CAST(doc_id AS VARCHAR) AS doc,
            rank, score, 'bm25' AS method
     FROM ranked WHERE rank <= {K}
+    """
+
+    # positions: token_pos counts non-empty raw tokens; char_pos is the
+    # cumulative (len+1) offset over ALL split slots (kill-table mapping
+    # is length-preserving, so offsets in killed text == original)
+    sql["results_positions"] = f"""
+    WITH {_TOK}, {_BM25_SCORED},
+    ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ),
+    run AS (SELECT query_id, doc_id FROM ranked WHERE rnk <= {K}),
+    tk2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    tokpos AS (
+      SELECT doc_id, ts[i] AS tok, i,
+        CAST(coalesce(sum(length(ts[i]) + 1) OVER (
+          PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS char_pos
+      FROM tk2, unnest(generate_series(1, len(ts))) AS g(i)
+    ),
+    nonempty AS (
+      SELECT doc_id, tok, char_pos,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INTEGER) AS token_pos
+      FROM tokpos WHERE tok <> ''
+    )
+    SELECT r.query_id, n.doc_id, n.tok AS term, n.token_pos, n.char_pos
+    FROM nonempty n
+    JOIN q ON q.term = n.tok
+    JOIN run r ON r.query_id = q.query_id AND r.doc_id = n.doc_id
     """
     return sql

@@ -126,9 +126,19 @@ def minhash_lsh_pairs(
     the classic shingle->minhash->band->bucket-join pipeline.
     """
     banded = signatures.withColumn("band", F.col("h") % n_bands)
-    buckets = (
-        banded.groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+    # band key preserves SLOT order (sort the collected (h, minhash)
+    # structs by h): standard LSH collision probability — two docs share a
+    # bucket iff the band's hash slots agree slot-for-slot
+    buckets = banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("h", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            )
+        ).alias("bucket")
     )
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")

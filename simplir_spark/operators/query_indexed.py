@@ -305,18 +305,30 @@ def ql_dirichlet_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "did", F.col("rank").cast("int").alias("rank"), "score")
     )
-    rows = topk.collect()
-    if not rows:
+    return _resolve_doc_keys(spark, index, topk)
+
+
+def _resolve_doc_keys(spark: SparkSession, index: IndexHandle, topk: DataFrame) -> DataFrame:
+    """doc_key resolution for a (query_id, did, rank, score) top-k.
+
+    The top-k is persisted (it is queries x k rows) and ONLY the distinct
+    dids are collected — they become an ``isin`` literal so the docmeta
+    scan keeps parquet min/max row-group pruning on the did-contiguous
+    partitions.  The returned plan joins docmeta against the REAL top-k
+    DataFrame (broadcast), so lineage/AQE stay intact — no
+    createDataFrame round-trip of the scores through the driver.
+    """
+    topk = topk.persist()
+    dids = sorted(r["did"] for r in topk.select("did").distinct().collect())
+    if not dids:
         key_type = index.docmeta.schema["doc_key"].dataType.simpleString()
         return spark.createDataFrame(
             [], f"query_id string, doc_key {key_type}, rank int, score double"
         )
-    topk_df = spark.createDataFrame(rows, topk.schema)
-    dids = sorted({r["did"] for r in rows})
     return (
         index.docmeta.select("did", "doc_key")
         .filter(F.col("did").isin(dids))
-        .join(F.broadcast(topk_df), "did")
+        .join(F.broadcast(topk), "did")
         .select("query_id", "doc_key", "rank", "score")
     )
 
@@ -395,20 +407,4 @@ def bm25_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "did", F.col("rank").cast("int").alias("rank"), "score")
     )
-    # resolve doc_key: collect the tiny top-k, then a did-pruned docmeta
-    # scan (isin pushdown hits parquet min/max on the did-contiguous
-    # partitions) + broadcast join
-    rows = topk.collect()
-    if not rows:
-        key_type = index.docmeta.schema["doc_key"].dataType.simpleString()
-        return spark.createDataFrame(
-            [], f"query_id string, doc_key {key_type}, rank int, score double"
-        )
-    topk_df = spark.createDataFrame(rows, topk.schema)
-    dids = sorted({r["did"] for r in rows})
-    return (
-        index.docmeta.select("did", "doc_key")
-        .filter(F.col("did").isin(dids))
-        .join(F.broadcast(topk_df), "did")
-        .select("query_id", "doc_key", "rank", "score")
-    )
+    return _resolve_doc_keys(spark, index, topk)
