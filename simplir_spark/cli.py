@@ -93,6 +93,16 @@ def cmd_merge(args) -> None:
     print(args.out)
 
 
+def cmd_compact(args) -> None:
+    """Search2 `compact` mode (Search2.hs:104-113): merge short posting
+    runs into full-size runs, writing a fresh index directory."""
+    from simplir_spark.operators.merge import compact_index
+
+    spark = _spark(args)
+    compact_index(spark, args.index, args.out)
+    print(args.out)
+
+
 def cmd_query(args) -> None:
     from simplir_spark.operators.index_build import open_index
     from simplir_spark.operators.query_indexed import bm25_indexed
@@ -154,6 +164,11 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--out", required=True)
     sp.add_argument("sources", nargs="+")
     sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_compact)
 
     for name in ("query", "score"):
         sp = sub.add_parser(name)

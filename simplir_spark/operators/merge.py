@@ -24,11 +24,16 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
-from pyspark.sql import SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simplir_spark.operators.index_build import IndexPaths, open_index
+from simplir_spark.functions import codec
+from simplir_spark.operators.index_build import RUN_SIZE_DEFAULT, IndexPaths, open_index
+from simplir_spark.schema import POSTINGS_SCHEMA
 
 MERGE_FAN_IN = 64  # Build.hs:41
 
@@ -98,4 +103,112 @@ def _merge_group(spark: SparkSession, sources: list[str], out_dir: str) -> Index
             stats[k] += int(cs.get(k, 0))
     with open(paths.corpus_stats, "w") as f:
         json.dump(stats, f, indent=1)
+    return paths
+
+
+def compact_postings(
+    postings: DataFrame,
+    run_size: int = RUN_SIZE_DEFAULT,
+    min_run: int | None = None,
+) -> DataFrame:
+    """Merge adjacent SHORT posting runs of a term into full-size runs —
+    the maintenance pass of ``compactPostings`` (Search2.hs:104-113,
+    kernel simplir-leveldb-index/src/SimplIR/LevelDbIndex.hs:200-258):
+    runs already >= ``min_run`` postings are passed through untouched
+    (the reference's collapseThresh skip), short neighbors are decoded,
+    concatenated and re-encoded into ``run_size`` chunks.
+
+    Input partitions must be (term, start_did)-sorted (the on-disk
+    postings layout) — compaction happens within a partition, exactly as
+    the reference compacts within its key-range buckets, so a term split
+    across a partition boundary keeps one short run per side at worst.
+    Streaming ingest and hierarchical merges are the producers of short
+    runs; one compact pass restores query-time run geometry.
+    """
+    if min_run is None:
+        min_run = max(1, run_size // 2)
+    has_pos = "pos" in postings.columns
+
+    def kernel(batches):
+        out: list[tuple] = []
+        buf_term: str | None = None
+        buf: list[tuple] = []  # pending short runs of buf_term, in order
+
+        def emit_passthrough(row):
+            out.append(tuple(row))
+
+        def flush():
+            nonlocal buf, buf_term
+            if not buf:
+                return
+            if len(buf) == 1:
+                out.append(buf[0])
+            else:
+                dids_l, tfs_l, dls_l, pos_l = [], [], [], []
+                for row in buf:
+                    d, t, dl = codec.decode_run(row[1], row[3], row[6], row[7], row[8])
+                    dids_l.append(d)
+                    tfs_l.append(t)
+                    dls_l.append(dl)
+                    if has_pos and isinstance(row[9], (bytes, bytearray)):
+                        pos_l.extend(codec.decode_positions(bytes(row[9]), t))
+                dids = np.concatenate(dids_l)
+                tfs = np.concatenate(tfs_l)
+                dls = np.concatenate(dls_l)
+                for s in range(0, len(dids), run_size):
+                    e = min(s + run_size, len(dids))
+                    r = codec.encode_run(dids[s:e], tfs[s:e], dls[s:e])
+                    pos_blob = (
+                        codec.encode_positions(pos_l[s:e]) if pos_l else None
+                    )
+                    out.append(
+                        (buf_term, r["start_did"], r["end_did"], r["n"], r["max_tf"],
+                         r["sum_tf"], r["deltas"], r["tfs"], r["dls"], pos_blob)
+                    )
+            buf = []
+
+        cols = [f.name for f in POSTINGS_SCHEMA.fields]
+        for pdf in batches:
+            pdf = pdf.reindex(columns=cols)
+            for row in pdf.itertuples(index=False, name=None):
+                term, n = row[0], row[3]
+                if term != buf_term:
+                    flush()
+                    buf_term = term
+                if n >= min_run:
+                    flush()
+                    emit_passthrough(row)
+                else:
+                    buf.append(tuple(row))
+                if len(out) >= 4096:
+                    yield pd.DataFrame(out, columns=cols)
+                    out = []
+        flush()
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return postings.mapInPandas(kernel, POSTINGS_SCHEMA)
+
+
+def compact_index(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    run_size: int = RUN_SIZE_DEFAULT,
+    min_run: int | None = None,
+) -> IndexPaths:
+    """Rewrite an index directory with compacted postings (parquet is
+    immutable, so compaction produces a new directory rather than the
+    reference's in-place LevelDB rewrite).  docmeta/term_stats/
+    corpus_stats are carried over unchanged — compaction never alters
+    statistics, only run geometry."""
+    h = open_index(spark, src_dir)
+    paths = IndexPaths(dst_dir)
+    os.makedirs(dst_dir, exist_ok=True)
+    compact_postings(h.postings, run_size=run_size, min_run=min_run).write.mode(
+        "overwrite"
+    ).option("maxRecordsPerFile", 0).parquet(paths.postings)
+    h.docmeta.write.mode("overwrite").parquet(os.path.join(dst_dir, "docmeta"))
+    h.term_stats.write.mode("overwrite").parquet(paths.term_stats)
+    shutil.copyfile(h.paths.corpus_stats, paths.corpus_stats)
     return paths

@@ -319,3 +319,51 @@ def test_ql_indexed_matches_scan(spark, index_dir, corpus_small):
     assert set(g) == set(w)
     for qid in g:
         assert sorted(g[qid]) == sorted(w[qid]), qid
+
+
+def test_compact_postings_preserves_results(spark, corpus_small, index_dir, tmp_path_factory):
+    """compactPostings (Search2.hs:104-113): short adjacent runs merge into
+    full-size runs; query results and posting statistics are unchanged."""
+    from simplir_spark.operators.merge import compact_index
+
+    dst = str(tmp_path_factory.mktemp("compacted"))
+    compact_index(spark, index_dir, dst, run_size=1 << 14)
+
+    src_idx = open_index(spark, index_dir)
+    dst_idx = open_index(spark, dst)
+
+    n_src = src_idx.postings.count()
+    n_dst = dst_idx.postings.count()
+    assert n_dst < n_src  # run_size=64 build must have mergeable short runs
+
+    agg = lambda df: df.agg(
+        F.sum("n").alias("n"), F.sum("sum_tf").alias("s"), F.max("max_tf").alias("m")
+    ).collect()[0]
+    a, b = agg(src_idx.postings), agg(dst_idx.postings)
+    assert (a["n"], a["s"], a["m"]) == (b["n"], b["s"], b["m"])
+
+    before = {
+        (r.query_id, r.doc_key, r.rank): round(r.score, 9)
+        for r in bm25_indexed(spark, src_idx, QUERIES, k=10).collect()
+    }
+    after = {
+        (r.query_id, r.doc_key, r.rank): round(r.score, 9)
+        for r in bm25_indexed(spark, dst_idx, QUERIES, k=10).collect()
+    }
+    assert before == after
+
+
+def test_compact_runs_are_full_size(spark, corpus_small, index_dir, tmp_path_factory):
+    from simplir_spark.operators.merge import compact_postings
+
+    src = open_index(spark, index_dir)
+    compacted = compact_postings(src.postings, run_size=1 << 14).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # within one partition a term keeps at most ONE short run (terms may
+    # span adjacent range buckets — one short survivor per side, exactly
+    # the reference's per-key-range behavior)
+    rows = compacted.groupBy("term", "pid").agg(
+        F.sum(F.when(F.col("n") < (1 << 13), 1).otherwise(0)).alias("n_short")
+    ).collect()
+    assert all(r["n_short"] <= 1 for r in rows)
