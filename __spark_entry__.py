@@ -488,6 +488,29 @@ def q_l2r_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag monoid end-to-end (Bag.hs:39-69): term bags of two sub-corpora
+    (even/odd doc ids), weightedUnion(2.0, 0.5) -> L1 normalize ->
+    byFrequency top-20.  Weights are multiples of 0.5, so every sum is
+    exact binary and the oracle agrees bitwise."""
+    from simplir_spark.operators.bag import (
+        bag_by_frequency,
+        bag_from_items,
+        bag_normalize,
+        bag_weighted_union,
+    )
+
+    tok = _tokenized_docs(spark, sf_dir)
+    items = tok.select("doc_id", F.explode("terms").alias("item"))
+    bag_a = bag_from_items(items.filter(F.col("doc_id") % 2 == 0))
+    bag_b = bag_from_items(items.filter(F.col("doc_id") % 2 == 1))
+    u = bag_weighted_union([(2.0, bag_a), (0.5, bag_b)])
+    ranked = bag_by_frequency(bag_normalize(u))
+    return ranked.filter(F.col("rank") <= 20).select(
+        "item", F.round("weight", DP).alias("weight"), "rank"
+    )
+
+
 def q_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate removal (simplir-html-clean Clean.hs:36-84) over a
     deterministic HTML wrapping of the documents table: script/nav
@@ -694,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_stats": q_stopword_stats,
         "lang_id": q_lang_id,
         "html_clean": q_html_clean,
+        "bag_ops": q_bag_ops,
         "prec_at_k": q_prec_at_k,
         "reciprocal_rank": q_reciprocal_rank,
         "winnowing": q_winnowing,
@@ -1234,6 +1258,20 @@ def oracle_sql() -> dict[str, str]:
       CASE WHEN b.m IS NULL OR b.m <= 0 THEN 'und' {lang_pred_case} END AS lang_pred,
       round(coalesce(b.m, 0.0), 6) AS lang_score
     FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+    """
+
+    sql["bag_ops"] = f"""
+    WITH {_TOK},
+    a AS (SELECT term, count(*) * 2.0 AS w FROM terms WHERE doc_id % 2 = 0 GROUP BY term),
+    b AS (SELECT term, count(*) * 0.5 AS w FROM terms WHERE doc_id % 2 = 1 GROUP BY term),
+    u AS (SELECT term, sum(w) AS w FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY term),
+    nrm AS (SELECT term, w / (SELECT sum(w) FROM u) AS wn FROM u),
+    r AS (
+      SELECT term AS item, round(wn, 6) AS weight,
+             CAST(row_number() OVER (ORDER BY wn DESC, term) AS INTEGER) AS rank
+      FROM nrm
+    )
+    SELECT item, weight, rank FROM r WHERE rank <= 20
     """
 
     # expected cleaner output for the deterministic wrapper (see

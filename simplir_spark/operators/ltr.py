@@ -1,24 +1,39 @@
 """Learning-to-rank: coordinate ascent over feature weights maximizing MAP
 — re-expression of simplir-learning-to-rank
-(`SimplIR.LearningToRank.coordAscent`, LearningToRank.hs:157-316).
+(`SimplIR.LearningToRank.coordAscent` / `naiveCoordAscent`,
+LearningToRank.hs:157-316).
 
-The reference line-searches one coordinate at a time over in-memory
-feature vectors, evaluating MAP per candidate step.  Spark shape: the
-feature table stays distributed and cached; ALL candidate steps of one
-coordinate are evaluated in a single job (broadcast the candidate weight
-vectors, crossJoin, score = w·f, window-rank per (candidate, query), AP,
-MAP per candidate) — the multi-query-one-pass trick of the reference's
-`traverse queryFold` (Search.hs:262-264) applied to the step search.
+Reference fidelity:
+ * step grid = the reference's `deltas` (LearningToRank.hs:172-176):
+   ABSOLUTE deltas ±0.0001·2^n for n=1..20 — 40 candidates per
+   coordinate (the 0 delta cannot strictly improve and is skipped);
+ * every candidate weight vector is L2-normalized before evaluation
+   (`l2NormalizeWeightVec`), so scale never drifts;
+ * optional ``eval_cutoff`` truncates rankings during evaluation
+   (`EvalCutoff`, LearningToRank.hs:223-226) — the runtime/precision
+   trade the reference exposes;
+ * the reference shuffles coordinate order with a seeded generator; we
+   visit coordinates in fixed order for cross-run determinism (the
+   shuffle only decorrelates ascent paths, it is not load-bearing).
+
+Spark shape: the feature table stays distributed and cached; ALL
+candidate steps of one coordinate are evaluated in a single job
+(broadcast the candidate weight vectors, crossJoin, score = w·f,
+window-rank per (candidate, query), AP, MAP per candidate) — the
+multi-query-one-pass trick of the reference's `traverse queryFold`
+(Search.hs:262-264) applied to the step search, replacing its
+parTraversable per-query rerank parallelism.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-# multiplicative/additive step grid per coordinate (the reference searches
-# steps of both signs at several magnitudes, LearningToRank.hs:229-258)
-DEFAULT_STEPS = [-2.0, -1.0, -0.5, -0.1, 0.1, 0.5, 1.0, 2.0]
+# LearningToRank.hs:172-176 `deltas` (without the no-op 0 step)
+DEFAULT_STEPS = [s * 0.0001 * (1 << n) for n in range(1, 21) for s in (1.0, -1.0)]
 
 
 def weighted_map(features: DataFrame, qrels: DataFrame, weights: list[float]) -> float:
@@ -27,10 +42,24 @@ def weighted_map(features: DataFrame, qrels: DataFrame, weights: list[float]) ->
     return out.get(0, 0.0)
 
 
+def _l2_normalize(w: list[float]) -> list[float] | None:
+    """l2NormalizeWeightVec (LearningToRank.hs): None for the zero vector."""
+    nrm = math.sqrt(sum(x * x for x in w))
+    if nrm == 0.0:
+        return None
+    return [x / nrm for x in w]
+
+
 def _eval_candidates(
-    features: DataFrame, qrels: DataFrame, candidates: dict[int, list[float]]
+    features: DataFrame,
+    qrels: DataFrame,
+    candidates: dict[int, list[float]],
+    eval_cutoff: int | None = None,
 ) -> dict[int, float]:
-    """MAP per candidate weight vector, all candidates in one job."""
+    """MAP per candidate weight vector, all candidates in one job.
+
+    ``eval_cutoff`` truncates each ranking at k during evaluation
+    (EvalCutoffAt, LearningToRank.hs:223-226)."""
     spark = features.sparkSession
     cand_rows = [(cid, [float(x) for x in w]) for cid, w in candidates.items()]
     cand = spark.createDataFrame(cand_rows, "cand_id int, w array<double>")
@@ -48,6 +77,8 @@ def _eval_candidates(
     )
     w_rank = Window.partitionBy("cand_id", "qid").orderBy(F.desc("score"), F.col("doc"))
     ranked = scored.withColumn("rank", F.row_number().over(w_rank))
+    if eval_cutoff is not None:
+        ranked = ranked.filter(F.col("rank") <= eval_cutoff)
     joined = ranked.join(F.broadcast(rel), ["qid", "doc"], "left").withColumn(
         "is_rel", F.coalesce(F.col("_rel"), F.lit(0))
     )
@@ -72,15 +103,21 @@ def coordinate_ascent(
     n_iters: int = 2,
     steps: list[float] | None = None,
     init: list[float] | None = None,
+    eval_cutoff: int | None = None,
 ) -> tuple[list[float], float]:
     """Learn weights maximizing MAP.
 
     features: (qid string, doc string, features array<double>);
-    qrels: (qid, doc, relevance).  Returns (weights, map).  Deterministic:
-    fixed step grid, coordinates in order, strict-improvement acceptance.
+    qrels: (qid, doc, relevance).  Returns (L2-normalized weights, map).
+    Deterministic: the reference's absolute-delta grid, coordinates in
+    fixed order, strict-improvement acceptance, candidate vectors
+    L2-normalized before evaluation (naiveCoordAscent', LearningToRank.hs
+    178-216).
     """
     steps = steps or DEFAULT_STEPS
-    w = list(init) if init is not None else [1.0] * n_features
+    w = _l2_normalize(list(init) if init is not None else [1.0] * n_features)
+    if w is None:
+        raise ValueError("initial weights must be non-zero")
     features = features.cache()
     best_map = weighted_map(features, qrels, w)
     for _ in range(n_iters):
@@ -89,9 +126,13 @@ def coordinate_ascent(
             cands: dict[int, list[float]] = {}
             for si, s in enumerate(steps):
                 cw = list(w)
-                cw[j] = w[j] + s * (abs(w[j]) if w[j] != 0 else 1.0)
-                cands[si] = cw
-            scores = _eval_candidates(features, qrels, cands)
+                cw[j] = w[j] + s
+                cw = _l2_normalize(cw)
+                if cw is not None:
+                    cands[si] = cw
+            if not cands:
+                continue
+            scores = _eval_candidates(features, qrels, cands, eval_cutoff)
             si_best = max(sorted(scores), key=lambda k: scores[k])
             if scores[si_best] > best_map + 1e-12:
                 w = cands[si_best]
