@@ -376,6 +376,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_topk(emb, F.col("vec_id") < 10, k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors with DETERMINISTIC centroids
+    (n_lists vectors with smallest md5(id)) — the coarse-quantization
+    scale path, fully SQL-expressible so FULLY oracle-checked (unlike the
+    seeded-hyperplane rp-lsh path, which stays rows-only)."""
+    from simplir_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=4)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction plumbing (decode stubbed behind a
     deterministic md5-derived fake — no codec libs in this container).
@@ -722,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocal_rank": q_reciprocal_rank,
         "winnowing": q_winnowing,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "phrase_match": q_phrase_match,
         "cohen_kappa": q_cohen_kappa,
@@ -969,6 +981,44 @@ def oracle_sql() -> dict[str, str]:
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
              cos
       FROM pairs
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+    """
+
+    sql["ann_ivf_topk"] = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nv
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    asgn AS (
+      SELECT nv.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY nv.vec_id
+               ORDER BY list_dot_product(nv.v, cent.cv) / (nv.nrm * cent.cnrm) DESC, cent.cid
+             ) AS rnk
+      FROM nv CROSS JOIN cent
+    ),
+    lists AS (SELECT vec_id, cid FROM asgn WHERE rnk = 1),
+    qlists AS (SELECT vec_id AS query_id, cid FROM asgn WHERE rnk <= 4 AND vec_id < 10),
+    cand AS (
+      SELECT DISTINCT ql.query_id, l.vec_id AS neighbor_id
+      FROM qlists ql JOIN lists l ON l.cid = ql.cid
+      WHERE l.vec_id <> ql.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) AS cos
+      FROM cand c
+      JOIN nv q ON q.vec_id = c.query_id
+      JOIN nv t ON t.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+             cos
+      FROM scored
     )
     SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
     """

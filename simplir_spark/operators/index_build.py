@@ -500,20 +500,22 @@ def build_index(
             + ", ".join(f"{c} {carry_types[c]}" for c in carry)
             + f", {tok_fields}, doc_len int, doc_len_alnum int"
         )
-        if with_positions:
-            heavy_src = src
-        else:
-            # kill-set + whitespace split in Tungsten before the shuffle;
-            # content is not needed downstream (sha256 already computed)
-            from simplir_spark.functions.tokenize import jvm_raw_tokens_expr
-
-            heavy_src = src.withColumn("_raw", jvm_raw_tokens_expr("content")).drop("content")
         heavy = (
-            heavy_src.withColumn("_bucket", bucket_expr("doc_key", cuts))
+            src.withColumn("_bucket", bucket_expr("doc_key", cuts))
             .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_bucket") + 1))
             .repartition(n_buckets, "_xb")
             .sortWithinPartitions("_bucket", "doc_key")
         )
+        if not with_positions:
+            # kill-set + whitespace split in Tungsten AFTER the exchange:
+            # the shuffle carries the raw content string (one UTF8String
+            # per doc), not the split token array whose per-token offsets
+            # roughly double the shuffled bytes.  Interleaved A/B at 1.5M
+            # docs x 8 cores: post-shuffle split won every paired repeat
+            # (~8-13% whole-build, tokenized stage 17.4s -> 14.1s best).
+            from simplir_spark.functions.tokenize import jvm_raw_tokens_expr
+
+            heavy = heavy.withColumn("_raw", jvm_raw_tokens_expr("content")).drop("content")
         return heavy.mapInPandas(kernel, schema)
 
     # The tokenized checkpoint IS the docmeta table: parquet column pruning

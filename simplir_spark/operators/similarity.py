@@ -171,6 +171,84 @@ def rp_lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantization into ``n_lists``
+    inverted lists, query probes its ``n_probe`` nearest lists, exact
+    cosine rerank on the candidates.
+
+    The centroid set is DETERMINISTIC — the ``n_lists`` vectors with the
+    smallest md5(id) (a seedless reproducible sample) — instead of k-means
+    training, so results are stable across runs/cluster sizes AND the
+    whole operator is expressible in ANSI SQL for the driver oracle (the
+    trained-k-means variant would only change how centroids are produced).
+
+    Scale shape: centroids broadcast (tiny), assignment is a per-row
+    column expression, the candidate join shuffles on list id only —
+    candidates ~ (n_probe/n_lists) x N per query instead of N.
+    """
+    base = with_norm(emb, vec_col).select(F.col(id_col), "_v", "_norm")
+    cents = (
+        base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_lists)
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.col("_v").alias("_cv"),
+            F.col("_norm").alias("_cnorm"),
+        )
+    )
+    dot_c = F.aggregate(
+        F.zip_with("_v", "_cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos_c = dot_c / (F.col("_norm") * F.col("_cnorm"))
+    w_asgn = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.col("_cid"))
+    scored_c = base.crossJoin(F.broadcast(cents)).select(
+        id_col, "_v", "_norm", "_cid", cos_c.alias("_ccos")
+    )
+    asgn = scored_c.withColumn("_crnk", F.row_number().over(w_asgn))
+    lists = asgn.filter(F.col("_crnk") == 1).select(id_col, "_cid", "_v", "_norm")
+    qlists = (
+        asgn.join(emb.filter(query_filter).select(F.col(id_col).alias("_qid")),
+                  F.col(id_col) == F.col("_qid"))
+        .filter(F.col("_crnk") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), "_cid")
+    )
+    qv = base.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    cand = (
+        lists.join(F.broadcast(qlists), "_cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "_v", "_norm")
+        .distinct()
+    )
+    dot_q = F.aggregate(
+        F.zip_with("_qv", "_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos_q = dot_q / (F.col("_qnorm") * F.col("_norm"))
+    if round_dp is not None:
+        cos_q = F.round(cos_q, round_dp)
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id", "neighbor_id", cos_q.alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float,

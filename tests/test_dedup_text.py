@@ -152,3 +152,24 @@ def test_token_counts_known_values(spark):
     # doc1: ws=3; bpe: foo,bar,42,baz,-,qux = 6
     # doc3: ws=2, bpe=2; doc4: x,.,y,,,z = 5
     assert got == {1: (3, 6), 2: (0, 0), 3: (2, 2), 4: (1, 5)}
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """Deterministic-IVF candidates rerank exactly; recall@5 vs brute
+    force stays useful at n_probe=4/16 lists on the small table."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    ivf = ivf_topk(emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=4)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    assert len(a) > 0
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, recall
+    # determinism: second run identical
+    a2 = {(r.query_id, r.neighbor_id) for r in ivf_topk(
+        emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=4).collect()}
+    assert a == a2
