@@ -499,6 +499,30 @@ def q_l2r_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus's own Laplace-smoothed
+    bigram LM — the perplexity quality filter of web-corpus pipelines."""
+    from simplir_spark.operators.quality import lm_cross_entropy
+
+    return lm_cross_entropy(_tokenized_docs(spark, sf_dir))
+
+
+DECON_N = 13  # the standard contamination n-gram size
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination flags: docs sharing a 13-token-gram with
+    the deterministic benchmark subset (doc_id % 97 == 0).  Docs shorter
+    than 13 terms have no shingles and emit no row (same on both sides)."""
+    from simplir_spark.operators.dedup import ngram_shingles
+    from simplir_spark.operators.quality import decontaminate
+
+    tok = _tokenized_docs(spark, sf_dir)
+    sh = ngram_shingles(tok, n=DECON_N)
+    bench = ngram_shingles(tok.filter(F.col("doc_id") % 97 == 0), n=DECON_N)
+    return decontaminate(sh, bench)
+
+
 def q_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag monoid end-to-end (Bag.hs:39-69): term bags of two sub-corpora
     (even/odd doc ids), weightedUnion(2.0, 0.5) -> L1 normalize ->
@@ -729,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "html_clean": q_html_clean,
         "bag_ops": q_bag_ops,
+        "lm_cross_entropy": q_lm_cross_entropy,
+        "decontaminate": q_decontaminate,
         "prec_at_k": q_prec_at_k,
         "reciprocal_rank": q_reciprocal_rank,
         "winnowing": q_winnowing,
@@ -1308,6 +1334,53 @@ def oracle_sql() -> dict[str, str]:
       CASE WHEN b.m IS NULL OR b.m <= 0 THEN 'und' {lang_pred_case} END AS lang_pred,
       round(coalesce(b.m, 0.0), 6) AS lang_score
     FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+    """
+
+    sql["lm_cross_entropy"] = """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 2) AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM tk, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT count(*) AS vocab FROM (SELECT w1 AS w FROM bg UNION SELECT w2 FROM bg)),
+    sc AS (
+      SELECT bg.doc_id, ln((c12.c12 + 1.0) / (c1.c1 + (SELECT vocab FROM v))) AS lp
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(-sum(lp) / count(*), 6) AS cross_entropy
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           agg.cross_entropy
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+    _g13 = " || ' ' || ".join(f"toks[i+{j}]" for j in range(DECON_N))
+    sql["decontaminate"] = f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 2) AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, {_g13} AS shingle
+      FROM tk, unnest(generate_series(1, len(toks) - {DECON_N - 1})) AS g(i)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_hits FROM sh s JOIN bench USING (shingle)
+      GROUP BY s.doc_id
+    ),
+    ids AS (SELECT DISTINCT doc_id FROM sh)
+    SELECT ids.doc_id, CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(hits.n_hits, 0) > 0 AS contaminated
+    FROM ids LEFT JOIN hits USING (doc_id)
     """
 
     sql["bag_ops"] = f"""
