@@ -48,10 +48,20 @@ def lm_cross_entropy(
     bigrams against the count tables (context counts broadcast — vocab
     sized; bigram counts equi-joined).
     """
-    bg = _bigrams(tokenized, id_col)
+    from pyspark import StorageLevel
+
+    # bg feeds three aggregations + the scoring join: persist it once
+    # (disk-backed) instead of re-deriving the exploded bigrams per pass
+    bg = _bigrams(tokenized, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # vocab from the (far smaller) distinct-bigram table, not from bg
+    vocab = (
+        c12.select(F.col("w1").alias("w"))
+        .union(c12.select("w2"))
+        .distinct()
+        .count()
+    )
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bg.select(F.col("w1").alias("w")).union(bg.select("w2")).distinct().count()
     scored = (
         bg.join(c12, ["w1", "w2"])
         .join(F.broadcast(c1), "w1")

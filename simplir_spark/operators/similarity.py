@@ -196,30 +196,40 @@ def ivf_topk(
     candidates ~ (n_probe/n_lists) x N per query instead of N.
     """
     base = with_norm(emb, vec_col).select(F.col(id_col), "_v", "_norm")
-    cents = (
+    # centroids are a BOUNDED set (n_lists rows): collect them and embed
+    # as literal arrays, so corpus-side list assignment is a pure
+    # projection — no N x n_lists row expansion, NO shuffle, whatever the
+    # corpus size (argmax over n_lists column expressions)
+    cent_rows = (
         base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_lists)
-        .select(
-            F.col(id_col).alias("_cid"),
-            F.col("_v").alias("_cv"),
-            F.col("_norm").alias("_cnorm"),
+        .collect()
+    )
+
+    def _cos_to(row):
+        cv = F.array(*[F.lit(float(x)) for x in row["_v"]])
+        dot = F.aggregate(
+            F.zip_with("_v", cv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
-    )
-    dot_c = F.aggregate(
-        F.zip_with("_v", "_cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    cos_c = dot_c / (F.col("_norm") * F.col("_cnorm"))
-    w_asgn = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.col("_cid"))
-    scored_c = base.crossJoin(F.broadcast(cents)).select(
-        id_col, "_v", "_norm", "_cid", cos_c.alias("_ccos")
-    )
-    asgn = scored_c.withColumn("_crnk", F.row_number().over(w_asgn))
-    lists = asgn.filter(F.col("_crnk") == 1).select(id_col, "_cid", "_v", "_norm")
+        return dot / (F.col("_norm") * F.lit(float(row["_norm"])))
+
+    cent_structs = [
+        # min-cid tie-break under array_max: store -cid, negate on read
+        F.struct(_cos_to(r).alias("c"), F.lit(-int(r[id_col])).alias("nc"))
+        for r in cent_rows
+    ]
+    lists = base.withColumn(
+        "_cid", -F.array_max(F.array(*cent_structs))["nc"]
+    ).select(id_col, "_cid", "_v", "_norm")
+    # query side is tiny after the filter: explode the per-centroid
+    # scores and keep each query's n_probe best lists
+    w_q = Window.partitionBy(id_col).orderBy(F.desc("_qc.c"), F.desc("_qc.nc"))
     qlists = (
-        asgn.join(emb.filter(query_filter).select(F.col(id_col).alias("_qid")),
-                  F.col(id_col) == F.col("_qid"))
+        base.filter(query_filter)
+        .select(F.col(id_col), F.explode(F.array(*cent_structs)).alias("_qc"))
+        .withColumn("_crnk", F.row_number().over(w_q))
         .filter(F.col("_crnk") <= n_probe)
-        .select(F.col(id_col).alias("query_id"), "_cid")
+        .select(F.col(id_col).alias("query_id"), (-F.col("_qc.nc")).alias("_cid"))
     )
     qv = base.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
