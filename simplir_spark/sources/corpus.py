@@ -17,13 +17,24 @@ from pyspark.sql import functions as F
 def load_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Load a corpus table and normalize to the native schema + doc_key.
 
+    ``path`` may be a parquet file/directory OR a catalog table
+    identifier (no '/', e.g. ``iceberg_cat.db.files``) — the latter goes
+    through ``spark.read.table``, which is how an Iceberg-catalog corpus
+    (BASELINE.json's input shape) is read on a real cluster: snapshot
+    isolation, partition pruning and column pruning all come from the
+    catalog's DataSourceV2 implementation; nothing downstream changes.
+    This sandbox has no Iceberg runtime jar, so tests exercise the
+    read.table path with a parquet-backed catalog table.
+
     ``doc_key`` is the stable document identity — the analog of simplir's
     DocumentName (simplir/src/SimplIR/Types.hs:65-72):
     ``repo‖'/'‖path‖'@'‖commit`` for native corpora, a zero-padded doc_id
     for the synthetic documents table (zero-padding keeps lexicographic
     order == numeric order, which our dense-id assignment sorts by).
     """
-    if path.endswith(".parquet") or path.endswith("/"):
+    if "/" not in path and not path.endswith(".parquet"):
+        df = spark.read.table(path)
+    elif path.endswith(".parquet") or path.endswith("/"):
         df = spark.read.parquet(path)
     else:
         df = spark.read.parquet(f"{path}/documents.parquet")

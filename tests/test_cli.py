@@ -65,3 +65,24 @@ def test_cli_pipeline(spark, tmp_path_factory, qfile, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     m = json.loads(out)
     assert m["n_queries"] == 2 and m["map"] == pytest.approx(1.0)
+
+
+def test_load_corpus_from_catalog_table(spark):
+    """Catalog-table corpora (the Iceberg-shaped input) go through
+    spark.read.table — exercised here with a temp view (the sandbox has
+    no Iceberg jar; a real cluster points the same identifier at an
+    Iceberg catalog)."""
+    from simplir_spark.sources.corpus import load_corpus
+
+    src = spark.createDataFrame(
+        [("r1", "a/b.py", "c0ffee", "py", "def hash join x"),
+         ("r2", "m.rs", "deadbf", "rs", "fn merge sort y")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    src.createOrReplaceTempView("code_files")
+    df = load_corpus(spark, "code_files")
+    rows = {r.doc_key: r.content for r in df.collect()}
+    assert rows == {
+        "r1/a/b.py@c0ffee": "def hash join x",
+        "r2/m.rs@deadbf": "fn merge sort y",
+    }
