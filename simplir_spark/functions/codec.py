@@ -32,12 +32,19 @@ _THRESHOLDS = np.array([1 << 6, 1 << 14, 1 << 30, 1 << 62], dtype=np.uint64)
 _NBYTES = np.array([1, 2, 4, 8], dtype=np.int64)
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """Encode an int64/uint64 array of naturals to the SmallNat byte stream."""
+def encode_varints_with_lens(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode naturals to the SmallNat byte stream, keeping per-value lengths.
+
+    Returns ``(stream, lens)``: a uint8 array holding the concatenated
+    encodings and an int64 array with each value's encoded byte length —
+    so a caller encoding MANY runs in one call can slice per-run blobs
+    from cumulative length sums instead of re-invoking the encoder per
+    run (the whole-partition Arrow encoder's path).
+    """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    if v.size and (np.asarray(values, dtype=np.int64) < 0).any():
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    if (np.asarray(values, dtype=np.int64) < 0).any():
         raise ValueError("negative value in varint encode")
     if (v > MAX_SMALLNAT).any():
         raise ValueError("value exceeds 2^62-1")
@@ -57,7 +64,13 @@ def encode_varints(values: np.ndarray) -> bytes:
         out[o] = ((c << 6) | (vals >> np.uint64(8 * (n - 1)))).astype(np.uint8)
         for k in range(1, n):
             out[o + k] = (vals >> np.uint64(8 * (n - 1 - k))).astype(np.uint8)
-    return out.tobytes()
+    return out, lens
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """Encode an int64/uint64 array of naturals to the SmallNat byte stream."""
+    stream, _ = encode_varints_with_lens(values)
+    return stream.tobytes()
 
 
 def decode_varints(buf: bytes, n_values: int) -> np.ndarray:

@@ -349,6 +349,157 @@ def make_partition_run_encoder(run_size: int):
     return encode
 
 
+# per-column byte cap for one emitted Arrow batch: binary columns carry
+# int32 offsets, so a batch's data buffer must stay < 2 GiB; 1 GiB leaves
+# headroom for the three parallel blob columns
+_ARROW_CHUNK_BYTES = 1 << 30
+_ARROW_CHUNK_RUNS = 1 << 16
+
+
+def make_partition_run_encoder_arrow(run_size: int):
+    """mapInArrow kernel: one tokenized PARTITION -> encoded posting runs.
+
+    Semantics identical to :func:`make_partition_run_encoder` (the chunked
+    ``collectIndex`` build, Build.hs:117-135) but with NO per-token Python
+    objects and NO per-term Python loop — the pandas kernel's
+    Arrow->object-string conversion + ``pd.factorize`` + per-run
+    ``encode_run`` calls were allocator/memory-bandwidth-bound, which is
+    what capped the postings stage at ~1.5x going 4->16 cores while the
+    tokenize stage hit the host ceiling:
+
+    * token flatten is zero-copy (``ListArray.flatten``),
+    * term -> code is C++ (``pyarrow.compute.dictionary_encode``),
+    * the sort is a stable integer argsort on the int32 codes (numpy radix
+      sort, O(n)) when docs arrive did-ordered (the bucket layout
+      guarantees it; a lexsort fallback covers file-packed reorders),
+    * per-run stats are ``reduceat`` reductions,
+    * the three varint streams are encoded ONCE for the whole partition
+      (per-value lengths from ``encode_varints_with_lens``) and the
+      per-run blobs become an Arrow BinaryArray built straight from the
+      stream + cumulative-length offsets — runs tile the value array, so
+      their byte ranges tile the stream.
+    """
+    import pyarrow as pa
+
+    def encode(batches):
+        import pyarrow.compute as pc
+
+        val_parts: list = []
+        tf_parts: list[np.ndarray] = []
+        did_parts: list[np.ndarray] = []
+        dl_parts: list[np.ndarray] = []
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            terms = b.column(b.schema.get_field_index("terms"))
+            lens = pc.list_value_length(terms).to_numpy().astype(np.int64)
+            if int(lens.sum()) == 0:
+                continue
+            val_parts.append(terms.flatten().cast(pa.large_string()))
+            tfs_col = b.column(b.schema.get_field_index("tfs")).flatten()
+            tf_parts.append(tfs_col.to_numpy(zero_copy_only=False).astype(np.int64))
+            dids_b = b.column(b.schema.get_field_index("did")).to_numpy(
+                zero_copy_only=False
+            )
+            dls_b = b.column(b.schema.get_field_index("doc_len")).to_numpy(
+                zero_copy_only=False
+            )
+            did_parts.append(np.repeat(dids_b.astype(np.int64), lens))
+            dl_parts.append(np.repeat(dls_b.astype(np.int64), lens))
+        if not did_parts:
+            return
+        dict_enc = pc.dictionary_encode(pa.concat_arrays(val_parts))
+        del val_parts
+        codes = dict_enc.indices.to_numpy(zero_copy_only=False)
+        dictionary = dict_enc.dictionary
+        dids = np.concatenate(did_parts)
+        dls = np.concatenate(dl_parts)
+        tfs = np.concatenate(tf_parts)
+        del did_parts, dl_parts, tf_parts
+        n = len(codes)
+
+        if bool(np.all(dids[1:] >= dids[:-1])):
+            # docs arrive did-sorted -> stable argsort keeps within-term
+            # did order; integer stable sort in numpy is radix, O(n)
+            order = np.argsort(codes, kind="stable")
+        else:
+            order = np.lexsort((dids, codes))
+        codes_s = codes[order]
+        dids_s = dids[order]
+        tfs_s = tfs[order]
+        dls_s = dls[order]
+        del codes, dids, tfs, dls, order
+
+        change = np.nonzero(codes_s[1:] != codes_s[:-1])[0] + 1
+        g_start = np.concatenate(([0], change))
+        g_end = np.concatenate((change, [n]))
+        runs_per_group = -(-(g_end - g_start) // run_size)
+        total_runs = int(runs_per_group.sum())
+        gidx = np.repeat(np.arange(len(g_start)), runs_per_group)
+        first_run_of_group = np.concatenate(([0], np.cumsum(runs_per_group)))[:-1]
+        within = np.arange(total_runs) - first_run_of_group[gidx]
+        run_starts = g_start[gidx] + within * run_size
+        run_ends = np.minimum(run_starts + run_size, g_end[gidx])
+
+        deltas = np.empty(n, dtype=np.int64)
+        deltas[1:] = dids_s[1:] - dids_s[:-1]
+        deltas[run_starts] = 0  # each run's deltas are from ITS start
+
+        d_stream, d_lens = codec.encode_varints_with_lens(deltas)
+        t_stream, t_lens = codec.encode_varints_with_lens(tfs_s)
+        l_stream, l_lens = codec.encode_varints_with_lens(dls_s)
+        # cumulative byte offset of each run's blob in each stream; runs
+        # tile the value array, so offsets at run boundaries tile the
+        # streams (boundary i+1's start == boundary i's end)
+        d_off = np.concatenate(([0], np.cumsum(d_lens)))
+        t_off = np.concatenate(([0], np.cumsum(t_lens)))
+        l_off = np.concatenate(([0], np.cumsum(l_lens)))
+
+        run_n = (run_ends - run_starts).astype(np.int32)
+        max_tf = np.maximum.reduceat(tfs_s, run_starts)
+        sum_tf = np.add.reduceat(tfs_s, run_starts)
+        start_did = dids_s[run_starts]
+        end_did = dids_s[run_ends - 1]
+        run_codes = codes_s[run_starts]
+
+        def binary_col(stream: np.ndarray, off: np.ndarray, i0: int, i1: int):
+            bounds = np.concatenate((run_starts[i0:i1], [run_ends[i1 - 1]]))
+            byte_bounds = off[bounds]
+            base = byte_bounds[0]
+            offs32 = (byte_bounds - base).astype(np.int32)
+            data = stream[base : byte_bounds[-1]]
+            return pa.BinaryArray.from_buffers(
+                pa.binary(), i1 - i0, [None, pa.py_buffer(offs32), pa.py_buffer(data)]
+            )
+
+        i0 = 0
+        while i0 < total_runs:
+            i1 = min(i0 + _ARROW_CHUNK_RUNS, total_runs)
+            # shrink the chunk if any blob column would exceed the cap
+            for off in (d_off, t_off, l_off):
+                while i1 > i0 + 1 and off[run_ends[i1 - 1]] - off[run_starts[i0]] > _ARROW_CHUNK_BYTES:
+                    i1 = i0 + max(1, (i1 - i0) // 2)
+            terms_out = pc.take(dictionary, pa.array(run_codes[i0:i1])).cast(pa.string())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    terms_out,
+                    pa.array(start_did[i0:i1], pa.int64()),
+                    pa.array(end_did[i0:i1], pa.int64()),
+                    pa.array(run_n[i0:i1], pa.int32()),
+                    pa.array(max_tf[i0:i1], pa.int64()),
+                    pa.array(sum_tf[i0:i1], pa.int64()),
+                    binary_col(d_stream, d_off, i0, i1),
+                    binary_col(t_stream, t_off, i0, i1),
+                    binary_col(l_stream, l_off, i0, i1),
+                    pa.nulls(i1 - i0, pa.binary()),
+                ],
+                names=_RUN_COLS,
+            )
+            i0 = i1
+
+    return encode
+
+
 def term_did_cuts(pairs_sample: list[tuple], n_partitions: int) -> list[tuple]:
     """Range boundaries over (term, did) pairs — (n_partitions-1) cuts."""
     if n_partitions <= 1 or not pairs_sample:
@@ -565,8 +716,8 @@ def build_index(
         # come from the doc sample; a run whose did range spans a cut is
         # placed by its start_did (bucketing is monotone in the final
         # (term, start_did) sort key, so global order is preserved).
-        runs = tokenized.select("did", "doc_len", "terms", "tfs").mapInPandas(
-            make_partition_run_encoder(run_size), POSTINGS_SCHEMA
+        runs = tokenized.select("did", "doc_len", "terms", "tfs").mapInArrow(
+            make_partition_run_encoder_arrow(run_size), POSTINGS_SCHEMA
         )
         cuts = term_did_cuts(sample_term_did(), n_partitions)
         if not cuts:
@@ -580,21 +731,35 @@ def build_index(
             .drop("_b", "_xb")
         )
 
-    r_post = runner.run_df_stage(
-        "postings",
-        # positional payloads keep the explode+range-partition path (the
-        # positions column rides along per posting row)
-        lambda: (
-            build_postings(
-                build_pairs(), n_partitions=n_partitions, run_size=run_size,
-                with_positions=True,
-            )
-            if with_positions
-            else build_runs()
-        ),
-        upstream=["tokenized"],
-        sort_within_partitions=["term", "start_did"],
-    )
+    # One tokenized bucket file == one encode task.  Small-file packing
+    # (openCostInBytes default 4 MB) would merge several dictionary-
+    # compressed bucket files into one task, breaking the 64k-docs-per-
+    # task memory contract of the partition run encoder and starving the
+    # stage of parallelism (a bucket file's in-memory token arrays are
+    # orders of magnitude larger than its on-disk footprint).  Raising the
+    # open cost to the bin size makes packing a no-op; splitting of
+    # genuinely large files is unaffected.
+    _OPEN_COST = "spark.sql.files.openCostInBytes"
+    _prev_open_cost = spark.conf.get(_OPEN_COST)
+    spark.conf.set(_OPEN_COST, str(128 * 1024 * 1024))
+    try:
+        r_post = runner.run_df_stage(
+            "postings",
+            # positional payloads keep the explode+range-partition path (the
+            # positions column rides along per posting row)
+            lambda: (
+                build_postings(
+                    build_pairs(), n_partitions=n_partitions, run_size=run_size,
+                    with_positions=True,
+                )
+                if with_positions
+                else build_runs()
+            ),
+            upstream=["tokenized"],
+            sort_within_partitions=["term", "start_did"],
+        )
+    finally:
+        spark.conf.set(_OPEN_COST, _prev_open_cost)
 
     runner.run_df_stage(
         "term_stats",

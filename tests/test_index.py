@@ -367,3 +367,49 @@ def test_compact_runs_are_full_size(spark, corpus_small, index_dir, tmp_path_fac
         F.sum(F.when(F.col("n") < (1 << 13), 1).otherwise(0)).alias("n_short")
     ).collect()
     assert all(r["n_short"] <= 1 for r in rows)
+
+
+def test_arrow_encoder_matches_pandas_encoder(spark):
+    """The mapInArrow partition run encoder is a pure performance rewrite
+    of the mapInPandas one — same partition input must yield the SAME runs
+    (terms, boundaries, stats, and byte-identical blobs)."""
+    import random
+
+    from simplir_spark.operators.index_build import (
+        make_partition_run_encoder,
+        make_partition_run_encoder_arrow,
+    )
+    from simplir_spark.schema import POSTINGS_SCHEMA
+
+    rng = random.Random(42)
+    vocab = [f"t{i:03d}" for i in range(40)]
+    rows = []
+    for did in range(300):
+        n_terms = rng.randint(1, 12)
+        terms = sorted(rng.sample(vocab, n_terms))
+        tfs = [rng.randint(1, 5) for _ in terms]
+        rows.append((did, sum(tfs), terms, [int(x) for x in tfs]))
+    tok = spark.createDataFrame(
+        rows, "did long, doc_len int, terms array<string>, tfs array<long>"
+    ).repartitionByRange(3, "did").sortWithinPartitions("did")
+    run_size = 7  # tiny so multi-run terms appear
+
+    cols = ["term", "start_did", "n", "max_tf", "sum_tf", "deltas", "tfs", "dls"]
+
+    def canon(recs):
+        return sorted(
+            (r["term"], r["start_did"], r["n"], r["max_tf"], r["sum_tf"],
+             bytes(r["deltas"]), bytes(r["tfs"]), bytes(r["dls"]))
+            for r in recs
+        )
+
+    a = canon(
+        tok.mapInArrow(make_partition_run_encoder_arrow(run_size), POSTINGS_SCHEMA)
+        .select(*cols).collect()
+    )
+    p = canon(
+        tok.mapInPandas(make_partition_run_encoder(run_size), POSTINGS_SCHEMA)
+        .select(*cols).collect()
+    )
+    assert len(a) == len(p) > 0
+    assert a == p
