@@ -275,6 +275,36 @@ def tokenize_tf_from_raw(raw: pd.Series, has_nul: bool | None = None) -> pd.Data
         has_nul = bool(pd.Series(all_toks).str.contains("\x00", regex=False).any())
 
     inv, uniq = _factorize_flat(all_toks, has_nul)
+    term_idx, nt_sorted, tf, n_distinct, doc_len, dl_alnum = tf_codes_core(
+        inv, uniq, doc_ix, n_docs
+    )
+    terms_flat = nt_sorted[term_idx]
+    bounds = np.cumsum(n_distinct)[:-1]
+    return pd.DataFrame(
+        {
+            "terms": list(np.split(terms_flat, bounds)),
+            "tfs": list(np.split(tf, bounds)),
+            "doc_len": doc_len,
+            "doc_len_alnum": dl_alnum,
+        }
+    )
+
+
+def tf_codes_core(
+    inv: np.ndarray, uniq: np.ndarray, doc_ix: np.ndarray, n_docs: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Numpy core of the tf tokenizer: raw-token CODES -> per-doc stats.
+
+    Shared by the pandas kernel (which materializes Python list columns)
+    and the Arrow kernel (which gathers term strings C++-side) — all
+    per-token work here is integer numpy; Python string ops touch only
+    the batch vocabulary (``uniq``).
+
+    Returns ``(term_idx, nt_sorted, tf, n_distinct, doc_len, dl_alnum)``:
+    entries are (doc, term-rank)-sorted; entry i's term is
+    ``nt_sorted[term_idx[i]]`` with frequency ``tf[i]``; doc d owns
+    ``n_distinct[d]`` consecutive entries.
+    """
     norm_u = _norm_unique(uniq)
     alnum_u = _alnum_unique(uniq)
     dl_alnum = np.bincount(doc_ix[alnum_u[inv]], minlength=n_docs).astype(np.int32)
@@ -301,17 +331,9 @@ def tokenize_tf_from_raw(raw: pd.Series, has_nul: bool | None = None) -> pd.Data
     key = doc_ix * u + rank_all
     ukey, tf = np.unique(key, return_counts=True)
     d = ukey // u
-    terms_flat = nt_sorted[ukey % u]
+    term_idx = ukey % u
     n_distinct = np.bincount(d, minlength=n_docs)
-    bounds = np.cumsum(n_distinct)[:-1]
-    return pd.DataFrame(
-        {
-            "terms": list(np.split(terms_flat, bounds)),
-            "tfs": list(np.split(tf.astype(np.int64), bounds)),
-            "doc_len": doc_len,
-            "doc_len_alnum": dl_alnum,
-        }
-    )
+    return term_idx, nt_sorted, tf.astype(np.int64), n_distinct, doc_len, dl_alnum
 
 
 TOKENIZE_RESULT_TYPE = T.StructType(

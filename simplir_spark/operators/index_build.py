@@ -221,6 +221,101 @@ def make_tokenize_assign_kernel(offsets: dict[int, int], carry_cols: list[str],
     return kernel
 
 
+def make_tokenize_assign_kernel_arrow(offsets: dict[int, int], carry_cols: list[str]):
+    """mapInArrow twin of :func:`make_tokenize_assign_kernel` (tf path).
+
+    Same semantics, but the per-token data never becomes Python objects:
+    the JVM-split ``_raw`` list column is flattened zero-copy, raw tokens
+    are coded by ``pyarrow.compute.dictionary_encode`` (C++), the shared
+    integer core (:func:`tokenize.tf_codes_core`) does the tf grouping,
+    and the output ``terms`` list column is assembled by a C++ ``take``
+    of the batch vocabulary — Python string work is vocabulary-sized, not
+    token-stream-sized.  (The positional build keeps the pandas kernel:
+    its payload is position lists, a different inner loop.)
+    """
+    import pyarrow as pa
+
+    from simplir_spark.functions.tokenize import tf_codes_core
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        counters: dict[int, int] = {}
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            bkt = b.column(b.schema.get_field_index("_bucket")).to_numpy(
+                zero_copy_only=False
+            )
+            dids = np.empty(n, dtype=np.int64)
+            change = np.nonzero(bkt[1:] != bkt[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+            for s, e in zip(starts, ends):
+                bb = int(bkt[s])
+                base = offsets[bb] + counters.get(bb, 0)
+                dids[s:e] = np.arange(base, base + (e - s))
+                counters[bb] = counters.get(bb, 0) + (e - s)
+
+            raw = b.column(b.schema.get_field_index("_raw"))
+            lens = (
+                pc.fill_null(pc.list_value_length(raw), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            values = raw.flatten()  # zero-copy; null docs contribute nothing
+            doc_ix = np.repeat(np.arange(n, dtype=np.int64), lens)
+            if len(values) > 0:
+                nonempty = pc.not_equal(values, "")  # split()'s '' edge tokens
+                mask = nonempty.to_numpy(zero_copy_only=False)
+                if not mask.all():
+                    values = values.filter(nonempty)
+                    doc_ix = doc_ix[mask]
+
+            if len(values) == 0:
+                term_idx = np.zeros(0, dtype=np.int64)
+                nt_arrow = pa.array([], type=pa.string())
+                tf = np.zeros(0, dtype=np.int64)
+                n_distinct = np.zeros(n, dtype=np.int64)
+                doc_len = np.zeros(n, dtype=np.int32)
+                dl_alnum = np.zeros(n, dtype=np.int32)
+            else:
+                enc = pc.dictionary_encode(values)
+                inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                uniq = np.asarray(
+                    enc.dictionary.to_numpy(zero_copy_only=False), dtype=object
+                )
+                term_idx, nt_sorted, tf, n_distinct, doc_len, dl_alnum = tf_codes_core(
+                    inv, uniq, doc_ix, n
+                )
+                nt_arrow = pa.array(nt_sorted, type=pa.string())
+
+            list_offs = np.concatenate(
+                ([0], np.cumsum(n_distinct))
+            ).astype(np.int32)
+            offs_arr = pa.array(list_offs, type=pa.int32())
+            terms_col = pa.ListArray.from_arrays(
+                offs_arr, pc.take(nt_arrow, pa.array(term_idx))
+            )
+            tfs_col = pa.ListArray.from_arrays(offs_arr, pa.array(tf, type=pa.int64()))
+            cols = [pa.array(dids, type=pa.int64())]
+            names = ["did"]
+            for c in carry_cols:
+                cols.append(b.column(b.schema.get_field_index(c)))
+                names.append(c)
+            cols += [
+                terms_col,
+                tfs_col,
+                pa.array(doc_len, type=pa.int32()),
+                pa.array(dl_alnum, type=pa.int32()),
+            ]
+            names += ["terms", "tfs", "doc_len", "doc_len_alnum"]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # Posting-run encoding (streaming, batch-boundary-safe)
 # ---------------------------------------------------------------------------
@@ -639,7 +734,6 @@ def build_index(
         carry = ["doc_key"] + [
             c for c in ("repo", "path", "commit", "lang") if c in src.columns
         ] + ["sha256"]
-        kernel = make_tokenize_assign_kernel(offsets, carry, with_positions)
         tok_fields = (
             "terms array<string>, positions array<int>"
             if with_positions
@@ -657,17 +751,21 @@ def build_index(
             .repartition(n_buckets, "_xb")
             .sortWithinPartitions("_bucket", "doc_key")
         )
-        if not with_positions:
-            # kill-set + whitespace split in Tungsten AFTER the exchange:
-            # the shuffle carries the raw content string (one UTF8String
-            # per doc), not the split token array whose per-token offsets
-            # roughly double the shuffled bytes.  Interleaved A/B at 1.5M
-            # docs x 8 cores: post-shuffle split won every paired repeat
-            # (~8-13% whole-build, tokenized stage 17.4s -> 14.1s best).
-            from simplir_spark.functions.tokenize import jvm_raw_tokens_expr
+        if with_positions:
+            kernel = make_tokenize_assign_kernel(offsets, carry, True)
+            return heavy.mapInPandas(kernel, schema)
+        # kill-set + whitespace split in Tungsten AFTER the exchange:
+        # the shuffle carries the raw content string (one UTF8String
+        # per doc), not the split token array whose per-token offsets
+        # roughly double the shuffled bytes.  Interleaved A/B at 1.5M
+        # docs x 8 cores: post-shuffle split won every paired repeat
+        # (~8-13% whole-build, tokenized stage 17.4s -> 14.1s best).
+        from simplir_spark.functions.tokenize import jvm_raw_tokens_expr
 
-            heavy = heavy.withColumn("_raw", jvm_raw_tokens_expr("content")).drop("content")
-        return heavy.mapInPandas(kernel, schema)
+        heavy = heavy.withColumn("_raw", jvm_raw_tokens_expr("content")).drop("content")
+        return heavy.mapInArrow(
+            make_tokenize_assign_kernel_arrow(offsets, carry), schema
+        )
 
     # The tokenized checkpoint IS the docmeta table: parquet column pruning
     # means docmeta readers never touch the heavy `terms`/`tfs` columns, so

@@ -413,3 +413,59 @@ def test_arrow_encoder_matches_pandas_encoder(spark):
     )
     assert len(a) == len(p) > 0
     assert a == p
+
+
+def test_arrow_tokenize_kernel_matches_pandas(spark):
+    """The mapInArrow tokenize-assign kernel must agree with the pandas
+    kernel row-for-row (dids, terms, tfs, lengths) on edge-case content:
+    empty docs, NUL bytes, unicode, pure-punctuation docs."""
+    from simplir_spark.functions.tokenize import jvm_raw_tokens_expr
+    from simplir_spark.operators.index_build import (
+        make_tokenize_assign_kernel,
+        make_tokenize_assign_kernel_arrow,
+    )
+
+    docs = [
+        ("d00", "Hello, World! hello"),
+        ("d01", ""),
+        ("d02", "   \t\n  "),
+        ("d03", "a b c a b a"),
+        ("d04", "nul\x00inside token\x00s here"),
+        ("d05", "çağrı ÇAĞRI straße STRASSE"),
+        ("d06", "!!! ??? ..."),
+        ("d07", "x" * 50 + " y z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_key string, content string").withColumn(
+        "_bucket", (F.col("doc_key").substr(2, 2).cast("int") / 4).cast("int")
+    ).withColumn("sha256", F.sha2("content", 256))
+    offsets = {0: 0, 1: 100}
+    heavy = (
+        df.repartition(1)
+        .sortWithinPartitions("_bucket", "doc_key")
+        .withColumn("_raw", jvm_raw_tokens_expr("content"))
+        .drop("content")
+    )
+    schema = (
+        "did long, doc_key string, sha256 string, terms array<string>, "
+        "tfs array<long>, doc_len int, doc_len_alnum int"
+    )
+    carry = ["doc_key", "sha256"]
+    a = {
+        r["doc_key"]: r
+        for r in heavy.mapInArrow(
+            make_tokenize_assign_kernel_arrow(offsets, carry), schema
+        ).collect()
+    }
+    p = {
+        r["doc_key"]: r
+        for r in heavy.mapInPandas(
+            make_tokenize_assign_kernel(offsets, carry, False), schema
+        ).collect()
+    }
+    assert set(a) == set(p) == {k for k, _ in docs}
+    for k in a:
+        ra, rp = a[k], p[k]
+        assert (ra["did"], ra["terms"], ra["tfs"], ra["doc_len"],
+                ra["doc_len_alnum"], ra["sha256"]) == (
+            rp["did"], rp["terms"], rp["tfs"], rp["doc_len"],
+            rp["doc_len_alnum"], rp["sha256"]), k
