@@ -57,6 +57,8 @@ PRIOR_RUNS_MD = """
 | C | paired, fixed order, median-of-5 | 8→32 | 0.344 | 0.24–0.52 | 2.49× | 0.63 |
 | D | paired, fixed order, median-of-4 | 4→16 | 0.659 | 0.53–0.72 | 3.49× | 0.79 (paired 0.95) |
 | E | paired, ALTERNATING order, median-of-4 | 4→16 | 0.601 | 0.40–0.61 | 3.05× | 0.77 (paired 0.75) |
+| F (as E, rerun) | pandas kernels | 4→16 | 0.545 | 0.52–0.60 | 2.84× | 0.84 (paired 0.79) |
+| G | + Arrow postings encoder | 4→16 | 0.595 | 0.37–0.68 | 2.69× | 0.88 (paired 0.69) |
 """
 
 
