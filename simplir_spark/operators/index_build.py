@@ -324,61 +324,6 @@ def make_tokenize_assign_kernel_arrow(offsets: dict[int, int], carry_cols: list[
 _RUN_COLS = ["term", "start_did", "end_did", "n", "max_tf", "sum_tf", "deltas", "tfs", "dls", "pos"]
 
 
-def make_run_encoder(run_size: int, with_positions: bool = False):
-    """mapInPandas kernel factory: partition sorted by (term, did) -> runs.
-
-    Accumulates the trailing term group across Arrow batches so a term
-    split over batch boundaries still produces doc-contiguous runs.
-    """
-
-    def flush(term, parts, out):
-        dids = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        dls = np.concatenate([p[2] for p in parts])
-        poss = [x for p in parts for x in p[3]] if with_positions else None
-        n = len(dids)
-        for s in range(0, n, run_size):
-            e = min(s + run_size, n)
-            run = codec.encode_run(dids[s:e], tfs[s:e], dls[s:e])
-            pos_blob = codec.encode_positions(poss[s:e]) if with_positions else None
-            out.append(
-                (term, run["start_did"], run["end_did"], run["n"], run["max_tf"],
-                 run["sum_tf"], run["deltas"], run["tfs"], run["dls"], pos_blob)
-            )
-
-    def encode(batches):
-        buf_term = None
-        buf: list[tuple] = []
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            terms = pdf["term"].to_numpy()
-            dids = pdf["did"].to_numpy(dtype=np.int64)
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)
-            dls = pdf["doc_len"].to_numpy(dtype=np.int64)
-            poss = list(pdf["positions"]) if with_positions else [None] * len(pdf)
-            change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(terms)]))
-            out: list[tuple] = []
-            for s, e in zip(starts, ends):
-                t = terms[s]
-                if buf_term is not None and t != buf_term:
-                    flush(buf_term, buf, out)
-                    buf = []
-                buf_term = t
-                buf.append((dids[s:e], tfs[s:e], dls[s:e], poss[s:e]))
-            if out:
-                yield pd.DataFrame(out, columns=_RUN_COLS)
-        out = []
-        if buf_term is not None and buf:
-            flush(buf_term, buf, out)
-        if out:
-            yield pd.DataFrame(out, columns=_RUN_COLS)
-
-    return encode
-
-
 def make_partition_run_encoder(run_size: int):
     """mapInPandas kernel: one tokenized PARTITION -> its encoded posting runs.
 
@@ -451,7 +396,7 @@ _ARROW_CHUNK_BYTES = 1 << 30
 _ARROW_CHUNK_RUNS = 1 << 16
 
 
-def make_partition_run_encoder_arrow(run_size: int):
+def make_partition_run_encoder_arrow(run_size: int, with_positions: bool = False):
     """mapInArrow kernel: one tokenized PARTITION -> encoded posting runs.
 
     Semantics identical to :func:`make_partition_run_encoder` (the chunked
@@ -468,11 +413,20 @@ def make_partition_run_encoder_arrow(run_size: int):
       sort, O(n)) when docs arrive did-ordered (the bucket layout
       guarantees it; a lexsort fallback covers file-packed reorders),
     * per-run stats are ``reduceat`` reductions,
-    * the three varint streams are encoded ONCE for the whole partition
+    * the varint streams are encoded ONCE for the whole partition
       (per-value lengths from ``encode_varints_with_lens``) and the
       per-run blobs become an Arrow BinaryArray built straight from the
-      stream + cumulative-length offsets — runs tile the value array, so
-      their byte ranges tile the stream.
+      stream + cumulative-length offsets — runs tile the posting array,
+      so their byte ranges tile the stream.
+
+    ``with_positions`` consumes the positional tokenized layout (``terms``
+    = normalized occurrence stream, ``positions`` = raw token indexes):
+    occurrences group into postings by (term, did) change after the sort,
+    tf = group size, and the per-posting position deltas (first absolute,
+    ``codec.encode_positions`` format) are one more whole-partition varint
+    stream whose per-run slices tile exactly like the others — the
+    positional payload of the reference's generic posting
+    (Types.hs:139-158) without the exploded pair-row shuffle.
     """
     import pyarrow as pa
 
@@ -480,9 +434,10 @@ def make_partition_run_encoder_arrow(run_size: int):
         import pyarrow.compute as pc
 
         val_parts: list = []
-        tf_parts: list[np.ndarray] = []
+        aux_parts: list[np.ndarray] = []  # tfs (tf path) / positions (pos path)
         did_parts: list[np.ndarray] = []
         dl_parts: list[np.ndarray] = []
+        aux_name = "positions" if with_positions else "tfs"
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -491,8 +446,8 @@ def make_partition_run_encoder_arrow(run_size: int):
             if int(lens.sum()) == 0:
                 continue
             val_parts.append(terms.flatten().cast(pa.large_string()))
-            tfs_col = b.column(b.schema.get_field_index("tfs")).flatten()
-            tf_parts.append(tfs_col.to_numpy(zero_copy_only=False).astype(np.int64))
+            aux_col = b.column(b.schema.get_field_index(aux_name)).flatten()
+            aux_parts.append(aux_col.to_numpy(zero_copy_only=False).astype(np.int64))
             dids_b = b.column(b.schema.get_field_index("did")).to_numpy(
                 zero_copy_only=False
             )
@@ -509,25 +464,61 @@ def make_partition_run_encoder_arrow(run_size: int):
         dictionary = dict_enc.dictionary
         dids = np.concatenate(did_parts)
         dls = np.concatenate(dl_parts)
-        tfs = np.concatenate(tf_parts)
-        del did_parts, dl_parts, tf_parts
+        aux = np.concatenate(aux_parts)
+        del did_parts, dl_parts, aux_parts
         n = len(codes)
 
         if bool(np.all(dids[1:] >= dids[:-1])):
-            # docs arrive did-sorted -> stable argsort keeps within-term
-            # did order; integer stable sort in numpy is radix, O(n)
+            # entries arrive did-sorted (and position-sorted within doc)
+            # -> stable argsort keeps within-term (did, pos) order;
+            # integer stable sort in numpy is radix, O(n)
             order = np.argsort(codes, kind="stable")
+        elif with_positions:
+            order = np.lexsort((aux, dids, codes))
         else:
             order = np.lexsort((dids, codes))
         codes_s = codes[order]
         dids_s = dids[order]
-        tfs_s = tfs[order]
+        aux_s = aux[order]
         dls_s = dls[order]
-        del codes, dids, tfs, dls, order
+        del codes, dids, aux, dls, order
 
-        change = np.nonzero(codes_s[1:] != codes_s[:-1])[0] + 1
+        if with_positions:
+            # occurrences -> postings: boundary at (term, did) change
+            pchange = (
+                np.nonzero(
+                    (codes_s[1:] != codes_s[:-1]) | (dids_s[1:] != dids_s[:-1])
+                )[0]
+                + 1
+            )
+            p_start = np.concatenate(([0], pchange))
+            n_post = len(p_start)
+            tfs_p = np.diff(np.concatenate((p_start, [n])))
+            codes_p = codes_s[p_start]
+            dids_p = dids_s[p_start]
+            dls_p = dls_s[p_start]
+            # per-occurrence position deltas, first-of-posting absolute
+            # (np.diff(p, prepend=0) semantics of codec.encode_positions)
+            pos_deltas = np.empty(n, dtype=np.int64)
+            pos_deltas[1:] = aux_s[1:] - aux_s[:-1]
+            pos_deltas[p_start] = aux_s[p_start]
+            p_stream, p_lens = codec.encode_varints_with_lens(pos_deltas)
+            occ_cum = np.concatenate(([0], np.cumsum(p_lens)))
+            # byte offset of each POSTING's position block (postings tile
+            # the occurrence stream, so run slices tile the byte stream)
+            p_off = occ_cum[np.concatenate((p_start, [n]))]
+        else:
+            n_post = n
+            tfs_p = aux_s
+            codes_p = codes_s
+            dids_p = dids_s
+            dls_p = dls_s
+            p_stream = p_off = None
+        del codes_s, dids_s, aux_s, dls_s
+
+        change = np.nonzero(codes_p[1:] != codes_p[:-1])[0] + 1
         g_start = np.concatenate(([0], change))
-        g_end = np.concatenate((change, [n]))
+        g_end = np.concatenate((change, [n_post]))
         runs_per_group = -(-(g_end - g_start) // run_size)
         total_runs = int(runs_per_group.sum())
         gidx = np.repeat(np.arange(len(g_start)), runs_per_group)
@@ -536,26 +527,26 @@ def make_partition_run_encoder_arrow(run_size: int):
         run_starts = g_start[gidx] + within * run_size
         run_ends = np.minimum(run_starts + run_size, g_end[gidx])
 
-        deltas = np.empty(n, dtype=np.int64)
-        deltas[1:] = dids_s[1:] - dids_s[:-1]
+        deltas = np.empty(n_post, dtype=np.int64)
+        deltas[1:] = dids_p[1:] - dids_p[:-1]
         deltas[run_starts] = 0  # each run's deltas are from ITS start
 
         d_stream, d_lens = codec.encode_varints_with_lens(deltas)
-        t_stream, t_lens = codec.encode_varints_with_lens(tfs_s)
-        l_stream, l_lens = codec.encode_varints_with_lens(dls_s)
+        t_stream, t_lens = codec.encode_varints_with_lens(tfs_p)
+        l_stream, l_lens = codec.encode_varints_with_lens(dls_p)
         # cumulative byte offset of each run's blob in each stream; runs
-        # tile the value array, so offsets at run boundaries tile the
+        # tile the posting array, so offsets at run boundaries tile the
         # streams (boundary i+1's start == boundary i's end)
         d_off = np.concatenate(([0], np.cumsum(d_lens)))
         t_off = np.concatenate(([0], np.cumsum(t_lens)))
         l_off = np.concatenate(([0], np.cumsum(l_lens)))
 
         run_n = (run_ends - run_starts).astype(np.int32)
-        max_tf = np.maximum.reduceat(tfs_s, run_starts)
-        sum_tf = np.add.reduceat(tfs_s, run_starts)
-        start_did = dids_s[run_starts]
-        end_did = dids_s[run_ends - 1]
-        run_codes = codes_s[run_starts]
+        max_tf = np.maximum.reduceat(tfs_p, run_starts)
+        sum_tf = np.add.reduceat(tfs_p, run_starts)
+        start_did = dids_p[run_starts]
+        end_did = dids_p[run_ends - 1]
+        run_codes = codes_p[run_starts]
 
         def binary_col(stream: np.ndarray, off: np.ndarray, i0: int, i1: int):
             bounds = np.concatenate((run_starts[i0:i1], [run_ends[i1 - 1]]))
@@ -567,14 +558,20 @@ def make_partition_run_encoder_arrow(run_size: int):
                 pa.binary(), i1 - i0, [None, pa.py_buffer(offs32), pa.py_buffer(data)]
             )
 
+        all_offs = [d_off, t_off, l_off] + ([p_off] if with_positions else [])
         i0 = 0
         while i0 < total_runs:
             i1 = min(i0 + _ARROW_CHUNK_RUNS, total_runs)
             # shrink the chunk if any blob column would exceed the cap
-            for off in (d_off, t_off, l_off):
+            for off in all_offs:
                 while i1 > i0 + 1 and off[run_ends[i1 - 1]] - off[run_starts[i0]] > _ARROW_CHUNK_BYTES:
                     i1 = i0 + max(1, (i1 - i0) // 2)
             terms_out = pc.take(dictionary, pa.array(run_codes[i0:i1])).cast(pa.string())
+            pos_col = (
+                binary_col(p_stream, p_off, i0, i1)
+                if with_positions
+                else pa.nulls(i1 - i0, pa.binary())
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     terms_out,
@@ -586,7 +583,7 @@ def make_partition_run_encoder_arrow(run_size: int):
                     binary_col(d_stream, d_off, i0, i1),
                     binary_col(t_stream, t_off, i0, i1),
                     binary_col(l_stream, l_off, i0, i1),
-                    pa.nulls(i1 - i0, pa.binary()),
+                    pos_col,
                 ],
                 names=_RUN_COLS,
             )
@@ -615,30 +612,6 @@ def term_did_bucket_expr(cuts: list[tuple], did_col: str = "did"):
     return F.size(
         F.filter(arr, lambda c: (c["t"] < term) | ((c["t"] == term) & (c["d"] <= did)))
     )
-
-
-def build_postings(pairs: DataFrame, n_partitions: int | None = None,
-                   run_size: int = RUN_SIZE_DEFAULT,
-                   with_positions: bool = False) -> DataFrame:
-    """(did, doc_len, term, tf[, positions]) -> posting-run DataFrame.
-
-    Range partition on (term, did): term locality for parquet min/max
-    pruning, natural sub-run splitting for hot terms (a term with df
-    larger than a partition's share spans ADJACENT partitions — this is
-    the salted skew split, with the range partitioner as the salt).
-    Used by the positional build path; the tf-only path encodes runs
-    inside tokenized partitions instead (build_runs in build_index).
-    """
-    spark = pairs.sparkSession
-    if n_partitions is None:
-        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cols = ["term", "did", "tf", "doc_len"] + (["positions"] if with_positions else [])
-    part = (
-        pairs.repartitionByRange(n_partitions, "term", "did")
-        .sortWithinPartitions("term", "did")
-        .select(*cols)
-    )
-    return part.mapInPandas(make_run_encoder(run_size, with_positions), POSTINGS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -777,28 +750,16 @@ def build_index(
 
     tokenized = spark.read.parquet(r_tok.output)
 
-    def build_pairs() -> DataFrame:
-        # positional path only: (did, doc_len, term, tf, positions) from
-        # the checkpoint (the tf-only path encodes runs per partition and
-        # never materializes pair rows — see build_runs)
-        from simplir_spark.functions.tokenize import term_tf_positions_udf
-
-        return tokenized.withColumn(
-            "_tt", F.explode(term_tf_positions_udf("terms", "positions"))
-        ).select(
-            "did", "doc_len",
-            F.col("_tt.term").alias("term"),
-            F.col("_tt.tf").alias("tf"),
-            F.col("_tt.positions").alias("positions"),
-        )
-
     def sample_term_did() -> list[tuple]:
         # boundary sample for the final term-range layout: explode a small
         # doc sample (page-cached, column-pruned) — no full-plan resample
         n_docs = r_tok.rows or tokenized.count()
         if n_docs == 0:
             return []
-        frac = min(1.0, max(2000, n_partitions * 100) / n_docs)
+        # ~25 sampled docs (≈1k (term,did) pairs) per cut is ample for
+        # load balancing; this collect is SERIAL driver time inside the
+        # postings stage, so oversampling directly erodes scaling
+        frac = min(1.0, max(1000, n_partitions * 25) / n_docs)
         return [
             (r["term"], int(r["did"]))
             for r in tokenized.sample(False, frac, seed=42)
@@ -807,15 +768,19 @@ def build_index(
         ]
 
     def build_runs() -> DataFrame:
-        # tf-only path: encode runs INSIDE each did-contiguous tokenized
-        # partition (collectIndex per chunk, Build.hs:117-135), then
-        # shuffle only the small encoded runs into term-range buckets —
-        # the exploded posting rows never cross the wire.  Boundary cuts
-        # come from the doc sample; a run whose did range spans a cut is
-        # placed by its start_did (bucketing is monotone in the final
-        # (term, start_did) sort key, so global order is preserved).
-        runs = tokenized.select("did", "doc_len", "terms", "tfs").mapInArrow(
-            make_partition_run_encoder_arrow(run_size), POSTINGS_SCHEMA
+        # encode runs INSIDE each did-contiguous tokenized partition
+        # (collectIndex per chunk, Build.hs:117-135), then shuffle only
+        # the small encoded runs into term-range buckets — the exploded
+        # posting rows never cross the wire (positional payloads ride
+        # inside the run blobs, so this holds for both layouts).
+        # Boundary cuts come from the doc sample; a run whose did range
+        # spans a cut is placed by its start_did (bucketing is monotone
+        # in the final (term, start_did) sort key, so global order is
+        # preserved).
+        payload = "positions" if with_positions else "tfs"
+        runs = tokenized.select("did", "doc_len", "terms", payload).mapInArrow(
+            make_partition_run_encoder_arrow(run_size, with_positions),
+            POSTINGS_SCHEMA,
         )
         cuts = term_did_cuts(sample_term_did(), n_partitions)
         if not cuts:
@@ -843,16 +808,7 @@ def build_index(
     try:
         r_post = runner.run_df_stage(
             "postings",
-            # positional payloads keep the explode+range-partition path (the
-            # positions column rides along per posting row)
-            lambda: (
-                build_postings(
-                    build_pairs(), n_partitions=n_partitions, run_size=run_size,
-                    with_positions=True,
-                )
-                if with_positions
-                else build_runs()
-            ),
+            build_runs,
             upstream=["tokenized"],
             sort_within_partitions=["term", "start_did"],
         )
