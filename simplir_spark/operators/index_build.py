@@ -282,7 +282,8 @@ def make_tokenize_assign_kernel_arrow(offsets: dict[int, int], carry_cols: list[
                 dl_alnum = np.zeros(n, dtype=np.int32)
             else:
                 enc = pc.dictionary_encode(values)
-                inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                # dictionary indices carry no nulls -> zero-copy int32 view
+                inv = np.asarray(enc.indices)
                 uniq = np.asarray(
                     enc.dictionary.to_numpy(zero_copy_only=False), dtype=object
                 )
@@ -460,7 +461,7 @@ def make_partition_run_encoder_arrow(run_size: int, with_positions: bool = False
             return
         dict_enc = pc.dictionary_encode(pa.concat_arrays(val_parts))
         del val_parts
-        codes = dict_enc.indices.to_numpy(zero_copy_only=False)
+        codes = np.asarray(dict_enc.indices)  # no nulls -> zero-copy int32
         dictionary = dict_enc.dictionary
         dids = np.concatenate(did_parts)
         dls = np.concatenate(dl_parts)
