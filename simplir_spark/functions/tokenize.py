@@ -348,6 +348,40 @@ def tf_codes_core(
     return term_idx, nt_sorted, tf.astype(np.int64), n_distinct, doc_len, dl_alnum
 
 
+def pos_codes_core(
+    inv: np.ndarray, uniq: np.ndarray, doc_ix: np.ndarray,
+    raw_pos: np.ndarray, n_docs: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Positional twin of :func:`tf_codes_core`: per-OCCURRENCE output.
+
+    Keeps every occurrence whose normalized term is non-empty, in the
+    original raw-token order (tokenize_pos_batch semantics: Position is
+    the index over the pre-normalization-drop token stream,
+    Tokenise.hs:46-82).  Returns ``(codes_kept, norm_vocab, pos_kept,
+    kept_doc_ix, doc_len, dl_alnum)`` — occurrence i's term is
+    ``norm_vocab[codes_kept[i]]``, its position ``pos_kept[i]``.
+    """
+    norm_u = _norm_unique(uniq)
+    alnum_u = _alnum_unique(uniq)
+    dl_alnum = np.bincount(doc_ix[alnum_u[inv]], minlength=n_docs).astype(np.int32)
+
+    nt_codes, nt_uniq = pd.factorize(norm_u)
+    nt_uniq = np.asarray(nt_uniq, dtype=object)
+    codes_all = nt_codes[inv]
+    empty = np.nonzero(nt_uniq == "")[0]
+    if len(empty):
+        keep = codes_all != empty[0]
+        codes_kept = codes_all[keep]
+        pos_kept = raw_pos[keep]
+        kept_doc_ix = doc_ix[keep]
+    else:
+        codes_kept = codes_all
+        pos_kept = raw_pos
+        kept_doc_ix = doc_ix
+    doc_len = np.bincount(kept_doc_ix, minlength=n_docs).astype(np.int32)
+    return codes_kept, nt_uniq, pos_kept, kept_doc_ix, doc_len, dl_alnum
+
+
 TOKENIZE_RESULT_TYPE = T.StructType(
     [
         T.StructField("terms", T.ArrayType(T.StringType()), False),

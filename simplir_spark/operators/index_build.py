@@ -14,9 +14,11 @@ simplir-disk-index/src/SimplIR/DiskIndex/Build.hs:34-135):
 * ONE heavy pass over content: two column-pruned bookkeeping scans
   (boundary sample + per-bucket counts over doc_key only), then a single
   shuffle of raw content into bucket-aligned partitions where one
-  mapInPandas kernel assigns dense doc ids AND tokenizes AND aggregates
-  per-doc term frequencies.  Content crosses the wire exactly once and
-  the raw token stream is never materialized.
+  mapInArrow kernel assigns dense doc ids AND tokenizes AND aggregates
+  per-doc term frequencies.  Content crosses the wire exactly once, the
+  raw token stream never materializes as Python objects (Arrow
+  dictionary-encode + integer numpy cores; string work is
+  vocabulary-sized), and kill+split runs in Tungsten pre-kernel.
 
 * Dense 0-based doc ids (DocumentId, Types.hs:54-63) are assigned by
   doc_key order: sampled range-bucket boundaries, driver-side exclusive
@@ -221,21 +223,29 @@ def make_tokenize_assign_kernel(offsets: dict[int, int], carry_cols: list[str],
     return kernel
 
 
-def make_tokenize_assign_kernel_arrow(offsets: dict[int, int], carry_cols: list[str]):
-    """mapInArrow twin of :func:`make_tokenize_assign_kernel` (tf path).
+def make_tokenize_assign_kernel_arrow(
+    offsets: dict[int, int], carry_cols: list[str], with_positions: bool = False
+):
+    """mapInArrow twin of :func:`make_tokenize_assign_kernel`.
 
     Same semantics, but the per-token data never becomes Python objects:
     the JVM-split ``_raw`` list column is flattened zero-copy, raw tokens
     are coded by ``pyarrow.compute.dictionary_encode`` (C++), the shared
-    integer core (:func:`tokenize.tf_codes_core`) does the tf grouping,
-    and the output ``terms`` list column is assembled by a C++ ``take``
-    of the batch vocabulary — Python string work is vocabulary-sized, not
-    token-stream-sized.  (The positional build keeps the pandas kernel:
-    its payload is position lists, a different inner loop.)
+    integer cores (:func:`tokenize.tf_codes_core` /
+    :func:`tokenize.pos_codes_core`) do the grouping, and the output
+    ``terms`` list column is assembled by a C++ ``take`` of the batch
+    vocabulary — Python string work is vocabulary-sized, not
+    token-stream-sized.
+
+    ``with_positions`` emits the positional layout instead: ``terms`` is
+    the normalized occurrence stream in raw order and ``positions`` the
+    matching pre-normalization token indexes (tokenize_pos_batch
+    semantics; '' artifacts of the JVM split are dropped BEFORE position
+    assignment, restoring Python ``str.split()`` numbering).
     """
     import pyarrow as pa
 
-    from simplir_spark.functions.tokenize import tf_codes_core
+    from simplir_spark.functions.tokenize import pos_codes_core, tf_codes_core
 
     def kernel(batches):
         import pyarrow.compute as pc
@@ -274,12 +284,7 @@ def make_tokenize_assign_kernel_arrow(offsets: dict[int, int], carry_cols: list[
                     doc_ix = doc_ix[mask]
 
             if len(values) == 0:
-                term_idx = np.zeros(0, dtype=np.int64)
-                nt_arrow = pa.array([], type=pa.string())
-                tf = np.zeros(0, dtype=np.int64)
-                n_distinct = np.zeros(n, dtype=np.int64)
-                doc_len = np.zeros(n, dtype=np.int32)
-                dl_alnum = np.zeros(n, dtype=np.int32)
+                inv = uniq = None
             else:
                 enc = pc.dictionary_encode(values)
                 # dictionary indices carry no nulls -> zero-copy int32 view
@@ -287,19 +292,53 @@ def make_tokenize_assign_kernel_arrow(offsets: dict[int, int], carry_cols: list[
                 uniq = np.asarray(
                     enc.dictionary.to_numpy(zero_copy_only=False), dtype=object
                 )
-                term_idx, nt_sorted, tf, n_distinct, doc_len, dl_alnum = tf_codes_core(
-                    inv, uniq, doc_ix, n
-                )
-                nt_arrow = pa.array(nt_sorted, type=pa.string())
 
-            list_offs = np.concatenate(
-                ([0], np.cumsum(n_distinct))
-            ).astype(np.int32)
+            if with_positions:
+                if inv is None:
+                    codes_kept = np.zeros(0, dtype=np.int64)
+                    vocab_arrow = pa.array([], type=pa.string())
+                    pos_kept = np.zeros(0, dtype=np.int32)
+                    doc_len = np.zeros(n, dtype=np.int32)
+                    dl_alnum = np.zeros(n, dtype=np.int32)
+                else:
+                    # raw position = index within the doc's nonempty raw
+                    # token stream (pre-normalization-drop numbering)
+                    kept_lens = np.bincount(doc_ix, minlength=n)
+                    off = np.concatenate(([0], np.cumsum(kept_lens)))[:-1]
+                    raw_pos = (np.arange(len(doc_ix)) - off[doc_ix]).astype(np.int32)
+                    codes_kept, vocab, pos_kept, _, doc_len, dl_alnum = pos_codes_core(
+                        inv, uniq, doc_ix, raw_pos, n
+                    )
+                    vocab_arrow = pa.array(vocab, type=pa.string())
+                payload_idx, payload_vocab = codes_kept, vocab_arrow
+                payload_col_vals = pa.array(pos_kept, type=pa.int32())
+                payload_name = "positions"
+                per_doc = doc_len
+            else:
+                if inv is None:
+                    payload_idx = np.zeros(0, dtype=np.int64)
+                    payload_vocab = pa.array([], type=pa.string())
+                    tf = np.zeros(0, dtype=np.int64)
+                    per_doc = np.zeros(n, dtype=np.int64)
+                    doc_len = np.zeros(n, dtype=np.int32)
+                    dl_alnum = np.zeros(n, dtype=np.int32)
+                else:
+                    term_idx, nt_sorted, tf, n_distinct, doc_len, dl_alnum = (
+                        tf_codes_core(inv, uniq, doc_ix, n)
+                    )
+                    payload_idx, payload_vocab = term_idx, pa.array(
+                        nt_sorted, type=pa.string()
+                    )
+                    per_doc = n_distinct
+                payload_col_vals = pa.array(tf, type=pa.int64())
+                payload_name = "tfs"
+
+            list_offs = np.concatenate(([0], np.cumsum(per_doc))).astype(np.int32)
             offs_arr = pa.array(list_offs, type=pa.int32())
             terms_col = pa.ListArray.from_arrays(
-                offs_arr, pc.take(nt_arrow, pa.array(term_idx))
+                offs_arr, pc.take(payload_vocab, pa.array(payload_idx))
             )
-            tfs_col = pa.ListArray.from_arrays(offs_arr, pa.array(tf, type=pa.int64()))
+            payload_col = pa.ListArray.from_arrays(offs_arr, payload_col_vals)
             cols = [pa.array(dids, type=pa.int64())]
             names = ["did"]
             for c in carry_cols:
@@ -307,11 +346,11 @@ def make_tokenize_assign_kernel_arrow(offsets: dict[int, int], carry_cols: list[
                 names.append(c)
             cols += [
                 terms_col,
-                tfs_col,
+                payload_col,
                 pa.array(doc_len, type=pa.int32()),
                 pa.array(dl_alnum, type=pa.int32()),
             ]
-            names += ["terms", "tfs", "doc_len", "doc_len_alnum"]
+            names += ["terms", payload_name, "doc_len", "doc_len_alnum"]
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return kernel
@@ -725,9 +764,6 @@ def build_index(
             .repartition(n_buckets, "_xb")
             .sortWithinPartitions("_bucket", "doc_key")
         )
-        if with_positions:
-            kernel = make_tokenize_assign_kernel(offsets, carry, True)
-            return heavy.mapInPandas(kernel, schema)
         # kill-set + whitespace split in Tungsten AFTER the exchange:
         # the shuffle carries the raw content string (one UTF8String
         # per doc), not the split token array whose per-token offsets
@@ -738,7 +774,7 @@ def build_index(
 
         heavy = heavy.withColumn("_raw", jvm_raw_tokens_expr("content")).drop("content")
         return heavy.mapInArrow(
-            make_tokenize_assign_kernel_arrow(offsets, carry), schema
+            make_tokenize_assign_kernel_arrow(offsets, carry, with_positions), schema
         )
 
     # The tokenized checkpoint IS the docmeta table: parquet column pruning

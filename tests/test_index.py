@@ -469,3 +469,56 @@ def test_arrow_tokenize_kernel_matches_pandas(spark):
                 ra["doc_len_alnum"], ra["sha256"]) == (
             rp["did"], rp["terms"], rp["tfs"], rp["doc_len"],
             rp["doc_len_alnum"], rp["sha256"]), k
+
+
+def test_arrow_tokenize_kernel_positions_matches_pandas(spark):
+    """Positional layout parity: the Arrow kernel's (terms, positions)
+    occurrence stream must equal the pandas kernel's on edge-case
+    content (leading/trailing whitespace shifts, killed tokens keeping
+    their raw position, NULs, unicode)."""
+    from simplir_spark.functions.tokenize import jvm_raw_tokens_expr
+    from simplir_spark.operators.index_build import (
+        make_tokenize_assign_kernel,
+        make_tokenize_assign_kernel_arrow,
+    )
+
+    docs = [
+        ("d00", "  leading space Word word"),
+        ("d01", ""),
+        ("d02", "123 456 foo2 bar"),  # digit tokens normalize to ''
+        ("d03", "a b c a b a"),
+        ("d04", "nul\x00inside token here"),
+        ("d05", "çağrı ÇAĞRI straße"),
+        ("d06", "!!! stop ??? go ..."),
+        ("d07", "tail space  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_key string, content string").withColumn(
+        "_bucket", F.lit(0)
+    ).withColumn("sha256", F.sha2("content", 256))
+    offsets = {0: 0}
+    base = df.repartition(1).sortWithinPartitions("_bucket", "doc_key")
+    schema = (
+        "did long, doc_key string, sha256 string, terms array<string>, "
+        "positions array<int>, doc_len int, doc_len_alnum int"
+    )
+    carry = ["doc_key", "sha256"]
+    heavy_arrow = base.withColumn("_raw", jvm_raw_tokens_expr("content")).drop("content")
+    a = {
+        r["doc_key"]: r
+        for r in heavy_arrow.mapInArrow(
+            make_tokenize_assign_kernel_arrow(offsets, carry, True), schema
+        ).collect()
+    }
+    p = {
+        r["doc_key"]: r
+        for r in base.mapInPandas(
+            make_tokenize_assign_kernel(offsets, carry, True), schema
+        ).collect()
+    }
+    assert set(a) == set(p) == {k for k, _ in docs}
+    for k in a:
+        ra, rp = a[k], p[k]
+        assert (ra["did"], ra["terms"], ra["positions"], ra["doc_len"],
+                ra["doc_len_alnum"]) == (
+            rp["did"], rp["terms"], rp["positions"], rp["doc_len"],
+            rp["doc_len_alnum"]), k
