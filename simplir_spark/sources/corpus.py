@@ -32,7 +32,12 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
     for the synthetic documents table (zero-padding keeps lexicographic
     order == numeric order, which our dense-id assignment sorts by).
     """
-    if "/" not in path and not path.endswith(".parquet"):
+    if path.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz", ".ndjson")):
+        # JSON-lines corpora (one document object per line; Spark's JSON
+        # reader splits and decompresses per-file natively, so a directory
+        # of .jsonl.gz shards parallelizes like any file source)
+        df = spark.read.json(path)
+    elif "/" not in path and not path.endswith(".parquet"):
         df = spark.read.table(path)
     elif path.endswith(".parquet") or path.endswith("/"):
         df = spark.read.parquet(path)

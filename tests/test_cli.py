@@ -86,3 +86,21 @@ def test_load_corpus_from_catalog_table(spark):
         "r1/a/b.py@c0ffee": "def hash join x",
         "r2/m.rs@deadbf": "fn merge sort y",
     }
+
+
+def test_load_corpus_jsonl(spark, tmp_path_factory):
+    """JSON-lines corpora load through spark.read.json and normalize to
+    the native schema (both the source-code and synthetic shapes)."""
+    import json as _json
+
+    from simplir_spark.sources.corpus import load_corpus
+
+    d = tmp_path_factory.mktemp("jsonl")
+    p = str(d / "docs.jsonl")
+    with open(p, "w") as f:
+        f.write(_json.dumps({"repo": "r1", "path": "a.py", "commit": "c1",
+                             "lang": "py", "content": "alpha beta"}) + "\n")
+        f.write(_json.dumps({"repo": "r2", "path": "b.rs", "commit": "c2",
+                             "lang": "rs", "content": "gamma delta"}) + "\n")
+    rows = {r.doc_key: r.content for r in load_corpus(spark, p).collect()}
+    assert rows == {"r1/a.py@c1": "alpha beta", "r2/b.rs@c2": "gamma delta"}
