@@ -126,3 +126,50 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, "media_id long, frame_ts_ms int, frame_payload binary")
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing: payload -> resized payload + updated meta.
+
+    The pixel transform is stubbed like extract_features (PIL is not in
+    this container); the Spark-side contract is real: batched binary in /
+    binary out, metadata struct rewritten to the target dimensions, and
+    the deterministic fake payload (md5(payload || WxH), repeated to a
+    size that scales with the target area) keeps output-size accounting
+    testable.  Non-image rows pass through unchanged.
+    """
+    fake = os.environ.get("SIMPLIR_FAKE_DECODE") == "1"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decoding requires PIL (not in this container); "
+                    "set SIMPLIR_FAKE_DECODE=1 for the deterministic test path"
+                )
+            out_payload, out_meta = [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                if kind != "image":
+                    out_payload.append(bytes(payload))
+                    out_meta.append(meta)
+                    continue
+                seed = hashlib.md5(
+                    bytes(payload) + f"{width}x{height}".encode()
+                ).digest()
+                # fake 'pixels': digest tiled to ~3 bytes/pixel of the target
+                n = max(1, (width * height * 3) // len(seed))
+                out_payload.append((seed * n)[: width * height * 3])
+                m = dict(meta or {})
+                m["width"], m["height"] = width, height
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "mime": pdf["mime"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)

@@ -201,3 +201,24 @@ def test_stateful_dedup_batch_mode(spark):
     )
     got = {r.doc_id for r in dedup_stream(docs).collect()}
     assert got == {1, 2}
+
+
+def test_multimodal_resize_plumbing(spark, monkeypatch):
+    from simplir_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+
+    monkeypatch.setenv("SIMPLIR_FAKE_DECODE", "1")
+    rows = [
+        (1, "image", "image/png", b"\x89PNG fake bytes 1", {"width": 64, "height": 64, "duration_ms": None}),
+        (3, "video", "video/mp4", b"\x00mp4 fake", {"width": 16, "height": 9, "duration_ms": 3500}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(media, 8, 8).collect()}
+    # image: payload rewritten to target-area size, meta updated
+    assert (out[1].meta.width, out[1].meta.height) == (8, 8)
+    assert len(out[1].payload) == 8 * 8 * 3
+    # deterministic
+    again = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 8).collect()}
+    assert bytes(out[1].payload) == again[1]
+    # non-image rows pass through untouched
+    assert bytes(out[3].payload) == b"\x00mp4 fake"
+    assert out[3].meta.duration_ms == 3500
