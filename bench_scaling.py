@@ -60,6 +60,8 @@ PRIOR_RUNS_MD = """
 | F (as E, rerun) | pandas kernels | 4→16 | 0.545 | 0.52–0.60 | 2.84× | 0.84 (paired 0.79) |
 | G | + Arrow postings encoder | 4→16 | 0.595 | 0.37–0.68 | 2.69× | 0.88 (paired 0.69) |
 | H | + Arrow tokenize kernel | 4→16 | 0.708 | 0.65–1.00 | 2.95× | 0.91 (paired 0.81) |
+| I | + radix tf grouping (degraded phase) | 4→16 | 0.582 | 0.23–0.62 | 2.85× | 0.80 (paired 0.80) |
+| 2→8 supplement | Arrow kernels | 2→8 | **0.942** | 0.78–1.10 | 3.56× | 1.06 (paired 1.11) |
 """
 
 # The 2→8 supplementary evidence (criterion met on raw numbers) is static
