@@ -218,6 +218,20 @@ def jvm_raw_tokens_expr(text_col: str = "content"):
     return F.split(F.translate(F.col(text_col), kill, " " * len(kill)), r"(?U)\s+")
 
 
+def jvm_clean_text_expr(text_col: str = "content"):
+    """Kill-set translate ONLY (no split) — the Arrow kernels split with
+    C++ ``utf8_split_whitespace`` instead.  Shipping the cleaned STRING
+    through the JVM->Python Arrow stream instead of the split token array
+    drops ~35% of the transfer bytes (no per-token offsets) and the
+    '-separator-control fold keeps Python ``str.split()`` semantics
+    (U+001C..1F are isspace() in Python but not Unicode WSpace).
+    Arrow's splitter emits '' tokens at string edges where Python's
+    doesn't — the kernels drop '' before any position assignment.
+    """
+    kill = KILL_CHARS + "\x1c\x1d\x1e\x1f"
+    return F.translate(F.col(text_col), kill, " " * len(kill))
+
+
 def tokenize_tf_batch(texts: pd.Series) -> pd.DataFrame:
     """Tokenize + per-doc term-frequency aggregation in ONE kernel pass.
 

@@ -268,7 +268,13 @@ def make_tokenize_assign_kernel_arrow(
                 dids[s:e] = np.arange(base, base + (e - s))
                 counters[bb] = counters.get(bb, 0) + (e - s)
 
-            raw = b.column(b.schema.get_field_index("_raw"))
+            ci = b.schema.get_field_index("_clean")
+            if ci >= 0:
+                # cleaned STRING per doc -> C++ whitespace split here;
+                # the Arrow stream carried no per-token offsets
+                raw = pc.utf8_split_whitespace(b.column(ci))
+            else:
+                raw = b.column(b.schema.get_field_index("_raw"))
             lens = (
                 pc.fill_null(pc.list_value_length(raw), 0)
                 .to_numpy(zero_copy_only=False)
@@ -764,15 +770,16 @@ def build_index(
             .repartition(n_buckets, "_xb")
             .sortWithinPartitions("_bucket", "doc_key")
         )
-        # kill-set + whitespace split in Tungsten AFTER the exchange:
-        # the shuffle carries the raw content string (one UTF8String
-        # per doc), not the split token array whose per-token offsets
-        # roughly double the shuffled bytes.  Interleaved A/B at 1.5M
-        # docs x 8 cores: post-shuffle split won every paired repeat
-        # (~8-13% whole-build, tokenized stage 17.4s -> 14.1s best).
-        from simplir_spark.functions.tokenize import jvm_raw_tokens_expr
+        # kill-set translate in Tungsten AFTER the exchange; the Arrow
+        # kernel splits C++-side.  Both the shuffle AND the JVM->Python
+        # Arrow stream carry one cleaned UTF8String per doc — the split
+        # token array's per-token offsets would add ~35% to the stream
+        # (measured; see jvm_clean_text_expr) and ~2x to the shuffle.
+        from simplir_spark.functions.tokenize import jvm_clean_text_expr
 
-        heavy = heavy.withColumn("_raw", jvm_raw_tokens_expr("content")).drop("content")
+        heavy = heavy.withColumn("_clean", jvm_clean_text_expr("content")).drop(
+            "content"
+        )
         return heavy.mapInArrow(
             make_tokenize_assign_kernel_arrow(offsets, carry, with_positions), schema
         )
