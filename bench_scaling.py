@@ -61,6 +61,7 @@ PRIOR_RUNS_MD = """
 | G | + Arrow postings encoder | 4→16 | 0.595 | 0.37–0.68 | 2.69× | 0.88 (paired 0.69) |
 | H | + Arrow tokenize kernel | 4→16 | 0.708 | 0.65–1.00 | 2.95× | 0.91 (paired 0.81) |
 | I | + radix tf grouping (degraded phase) | 4→16 | 0.582 | 0.23–0.62 | 2.85× | 0.80 (paired 0.80) |
+| J | + clean-string transfer (hi-side throttled: lo best-ever 77.9s, hi all-low) | 4→16 | 0.461 | 0.31–0.52 | 2.89× | 0.64 (paired 0.81) |
 | 2→8 supplement | Arrow kernels | 2→8 | **0.942** | 0.78–1.10 | 3.56× | 1.06 (paired 1.11) |
 """
 
