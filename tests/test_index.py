@@ -522,3 +522,22 @@ def test_arrow_tokenize_kernel_positions_matches_pandas(spark):
                 ra["doc_len_alnum"]) == (
             rp["did"], rp["terms"], rp["positions"], rp["doc_len"],
             rp["doc_len_alnum"]), k
+
+
+def test_bm25_indexed_plan_broadcasts_and_prunes(spark, index_dir):
+    """Plan audit for the indexed query path: the (query_id, term) side
+    must broadcast (no shuffle of the postings for the join) and the
+    final docmeta resolution must broadcast the bounded top-k, keeping
+    the big tables shuffle-free end to end."""
+    idx = open_index(spark, index_dir)
+    df = bm25_indexed(spark, idx, QUERIES[:4], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # docmeta scan keeps did pushdown (min/max row-group pruning)
+    assert "PushedFilters" in plan, plan
+    # the postings side must NOT be exchanged for the query join
+    # (broadcast goes the other way); hash exchanges exist only for the
+    # groupBy(query_id, shard) scorer and the window top-k — 2 in the
+    # plan, AQE prints initial+current sections so allow the double
+    assert 0 < plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "IN (" in plan or "In(term" in plan, plan  # term pruning reached the scan
