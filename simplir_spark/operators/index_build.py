@@ -362,6 +362,161 @@ def make_tokenize_assign_kernel_arrow(
     return kernel
 
 
+def fused_chunk_schema(carry_cols: list[str], carry_types: dict[str, str]) -> str:
+    """Union schema for the fused build's chunks table: docmeta rows
+    (row_kind=0) and encoded posting runs (row_kind=1) side by side."""
+    carries = ", ".join(f"{c} {carry_types[c]}" for c in carry_cols)
+    return (
+        "row_kind tinyint, did long, " + carries
+        + ", doc_len int, doc_len_alnum int"
+        + ", term string, start_did long, end_did long, n int, max_tf long"
+        + ", sum_tf long, deltas binary, tfs binary, dls binary, pos binary"
+    )
+
+
+def make_fused_chunk_kernel(
+    offsets: dict[int, int], carry_cols: list[str], run_size: int
+):
+    """mapInArrow kernel fusing tokenize-assign AND run encoding: one
+    heavy pass emits docmeta rows (row_kind=0) and the partition's
+    encoded posting runs (row_kind=1) — the per-doc terms/tfs lists,
+    the build's largest intermediate, are never materialized at all
+    (at corpus scale that checkpoint costs a full extra write+read of
+    roughly the text volume).  This is the closest Spark analog of the
+    reference's single-pass chunked ``collectIndex`` (Build.hs:117-135):
+    a chunk leaves the tokenizer as (docmeta, compressed postings), not
+    as a token table.
+
+    tf path only — positional builds keep the two-stage layout.
+    """
+    import pyarrow as pa
+
+    from simplir_spark.functions.tokenize import tf_codes_core
+
+    n_carry = len(carry_cols)
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        counters: dict[int, int] = {}
+        val_parts: list = []
+        tf_parts: list[np.ndarray] = []
+        did_parts: list[np.ndarray] = []
+        dl_parts: list[np.ndarray] = []
+        carry_types: list = [None] * n_carry
+
+        def doc_batch(n, dids, carries, doc_len, dl_alnum):
+            cols = [
+                pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+                pa.array(dids, pa.int64()),
+                *carries,
+                pa.array(doc_len, pa.int32()),
+                pa.array(dl_alnum, pa.int32()),
+                pa.nulls(n, pa.string()),      # term
+                pa.nulls(n, pa.int64()),       # start_did
+                pa.nulls(n, pa.int64()),       # end_did
+                pa.nulls(n, pa.int32()),       # n
+                pa.nulls(n, pa.int64()),       # max_tf
+                pa.nulls(n, pa.int64()),       # sum_tf
+                pa.nulls(n, pa.binary()),      # deltas
+                pa.nulls(n, pa.binary()),      # tfs
+                pa.nulls(n, pa.binary()),      # dls
+                pa.nulls(n, pa.binary()),      # pos
+            ]
+            return pa.RecordBatch.from_arrays(cols, names=_FUSED_COLS(carry_cols))
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            bkt = b.column(b.schema.get_field_index("_bucket")).to_numpy(
+                zero_copy_only=False
+            )
+            dids = np.empty(n, dtype=np.int64)
+            change = np.nonzero(bkt[1:] != bkt[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+            for s, e in zip(starts, ends):
+                bb = int(bkt[s])
+                base = offsets[bb] + counters.get(bb, 0)
+                dids[s:e] = np.arange(base, base + (e - s))
+                counters[bb] = counters.get(bb, 0) + (e - s)
+
+            ci = b.schema.get_field_index("_clean")
+            if ci >= 0:
+                raw = pc.utf8_split_whitespace(b.column(ci))
+            else:
+                raw = b.column(b.schema.get_field_index("_raw"))
+            lens = (
+                pc.fill_null(pc.list_value_length(raw), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            values = raw.flatten()
+            doc_ix = np.repeat(np.arange(n, dtype=np.int64), lens)
+            if len(values) > 0:
+                nonempty = pc.not_equal(values, "")
+                mask = nonempty.to_numpy(zero_copy_only=False)
+                if not mask.all():
+                    values = values.filter(nonempty)
+                    doc_ix = doc_ix[mask]
+
+            carries = [
+                b.column(b.schema.get_field_index(c)) for c in carry_cols
+            ]
+            for i, col in enumerate(carries):
+                carry_types[i] = col.type
+
+            if len(values) == 0:
+                yield doc_batch(
+                    n, dids, carries,
+                    np.zeros(n, dtype=np.int32), np.zeros(n, dtype=np.int32),
+                )
+                continue
+            enc = pc.dictionary_encode(values)
+            inv = np.asarray(enc.indices)
+            uniq = np.asarray(
+                enc.dictionary.to_numpy(zero_copy_only=False), dtype=object
+            )
+            term_idx, nt_sorted, tf, n_distinct, doc_len, dl_alnum = tf_codes_core(
+                inv, uniq, doc_ix, n
+            )
+            yield doc_batch(n, dids, carries, doc_len, dl_alnum)
+            if len(term_idx):
+                nt_arrow = pa.array(nt_sorted, type=pa.string())
+                val_parts.append(
+                    pc.take(nt_arrow, pa.array(term_idx)).cast(pa.large_string())
+                )
+                tf_parts.append(tf)
+                did_parts.append(np.repeat(dids, n_distinct))
+                dl_parts.append(np.repeat(doc_len.astype(np.int64), n_distinct))
+
+        if not did_parts:
+            return
+        for run_cols in _posting_run_batches(
+            val_parts, tf_parts, did_parts, dl_parts, run_size
+        ):
+            m = len(run_cols[0])
+            cols = [
+                pa.array(np.ones(m, dtype=np.int8), pa.int8()),
+                pa.nulls(m, pa.int64()),  # did
+                *[pa.nulls(m, t) for t in carry_types],
+                pa.nulls(m, pa.int32()),  # doc_len
+                pa.nulls(m, pa.int32()),  # doc_len_alnum
+                *run_cols,
+            ]
+            yield pa.RecordBatch.from_arrays(cols, names=_FUSED_COLS(carry_cols))
+
+    return kernel
+
+
+def _FUSED_COLS(carry_cols: list[str]) -> list[str]:
+    return (
+        ["row_kind", "did"] + list(carry_cols) + ["doc_len", "doc_len_alnum"]
+        + _RUN_COLS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Posting-run encoding (streaming, batch-boundary-safe)
 # ---------------------------------------------------------------------------
@@ -440,6 +595,99 @@ def make_partition_run_encoder(run_size: int):
 # headroom for the three parallel blob columns
 _ARROW_CHUNK_BYTES = 1 << 30
 _ARROW_CHUNK_RUNS = 1 << 16
+
+
+def _posting_run_batches(val_parts, tf_parts, did_parts, dl_parts, run_size):
+    """Shared encoder back-half: accumulated posting-level arrays -> run
+    column tuples (the 10 POSTINGS_SCHEMA columns), chunked.
+
+    ``val_parts``: large_string Arrow arrays of per-posting terms;
+    ``tf_parts``/``did_parts``/``dl_parts``: int64 numpy arrays, aligned.
+    Postings need not be sorted — a stable radix argsort on the
+    dictionary codes groups them (did order within a term is preserved
+    when input dids are non-decreasing, the bucket layout's guarantee;
+    lexsort fallback otherwise).  Same algorithm as the tf branch of
+    :func:`make_partition_run_encoder_arrow` (kept separate there to
+    leave the positional variant self-contained).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    dict_enc = pc.dictionary_encode(pa.concat_arrays(val_parts))
+    codes = np.asarray(dict_enc.indices)
+    dictionary = dict_enc.dictionary
+    dids = np.concatenate(did_parts)
+    dls = np.concatenate(dl_parts)
+    tfs = np.concatenate(tf_parts)
+    n = len(codes)
+
+    if bool(np.all(dids[1:] >= dids[:-1])):
+        order = np.argsort(codes, kind="stable")
+    else:
+        order = np.lexsort((dids, codes))
+    codes_p = codes[order]
+    dids_p = dids[order]
+    tfs_p = tfs[order]
+    dls_p = dls[order]
+
+    change = np.nonzero(codes_p[1:] != codes_p[:-1])[0] + 1
+    g_start = np.concatenate(([0], change))
+    g_end = np.concatenate((change, [n]))
+    runs_per_group = -(-(g_end - g_start) // run_size)
+    total_runs = int(runs_per_group.sum())
+    gidx = np.repeat(np.arange(len(g_start)), runs_per_group)
+    first_run_of_group = np.concatenate(([0], np.cumsum(runs_per_group)))[:-1]
+    within = np.arange(total_runs) - first_run_of_group[gidx]
+    run_starts = g_start[gidx] + within * run_size
+    run_ends = np.minimum(run_starts + run_size, g_end[gidx])
+
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[1:] = dids_p[1:] - dids_p[:-1]
+    deltas[run_starts] = 0
+
+    d_stream, d_lens = codec.encode_varints_with_lens(deltas)
+    t_stream, t_lens = codec.encode_varints_with_lens(tfs_p)
+    l_stream, l_lens = codec.encode_varints_with_lens(dls_p)
+    d_off = np.concatenate(([0], np.cumsum(d_lens)))
+    t_off = np.concatenate(([0], np.cumsum(t_lens)))
+    l_off = np.concatenate(([0], np.cumsum(l_lens)))
+
+    run_n = (run_ends - run_starts).astype(np.int32)
+    max_tf = np.maximum.reduceat(tfs_p, run_starts)
+    sum_tf = np.add.reduceat(tfs_p, run_starts)
+    start_did = dids_p[run_starts]
+    end_did = dids_p[run_ends - 1]
+    run_codes = codes_p[run_starts]
+
+    def binary_col(stream, off, i0, i1):
+        bounds = np.concatenate((run_starts[i0:i1], [run_ends[i1 - 1]]))
+        byte_bounds = off[bounds]
+        base = byte_bounds[0]
+        offs32 = (byte_bounds - base).astype(np.int32)
+        data = stream[base : byte_bounds[-1]]
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), i1 - i0, [None, pa.py_buffer(offs32), pa.py_buffer(data)]
+        )
+
+    i0 = 0
+    while i0 < total_runs:
+        i1 = min(i0 + _ARROW_CHUNK_RUNS, total_runs)
+        for off in (d_off, t_off, l_off):
+            while i1 > i0 + 1 and off[run_ends[i1 - 1]] - off[run_starts[i0]] > _ARROW_CHUNK_BYTES:
+                i1 = i0 + max(1, (i1 - i0) // 2)
+        yield (
+            pc.take(dictionary, pa.array(run_codes[i0:i1])).cast(pa.string()),
+            pa.array(start_did[i0:i1], pa.int64()),
+            pa.array(end_did[i0:i1], pa.int64()),
+            pa.array(run_n[i0:i1], pa.int32()),
+            pa.array(max_tf[i0:i1], pa.int64()),
+            pa.array(sum_tf[i0:i1], pa.int64()),
+            binary_col(d_stream, d_off, i0, i1),
+            binary_col(t_stream, t_off, i0, i1),
+            binary_col(l_stream, l_off, i0, i1),
+            pa.nulls(i1 - i0, pa.binary()),
+        )
+        i0 = i1
 
 
 def make_partition_run_encoder_arrow(run_size: int, with_positions: bool = False):
@@ -693,6 +941,113 @@ class IndexPaths:
         return os.path.join(self.root, "corpus_stats.json")
 
 
+def _build_index_fused(
+    spark: SparkSession,
+    corpus: DataFrame,
+    paths: IndexPaths,
+    runner: PipelineRunner,
+    n_partitions: int,
+    run_size: int,
+    n_docs_known: int | None,
+) -> IndexPaths:
+    """Fused stage graph: chunks (docmeta + runs in one heavy pass) ->
+    docmeta / postings (both slim rewrites of chunks) -> stats."""
+    out_dir = paths.root
+
+    def build_chunks() -> DataFrame:
+        src = with_integrity(corpus)
+        slim = src.select("doc_key")
+        cuts = sample_boundaries(slim, "doc_key", n_partitions, n=n_docs_known)
+        offsets = bucket_offsets(slim, "doc_key", cuts)
+        with open(os.path.join(out_dir, "_bucket_cuts.json"), "w") as f:
+            json.dump(cuts, f)
+        n_buckets = len(cuts) + 1
+        xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
+        carry = ["doc_key"] + [
+            c for c in ("repo", "path", "commit", "lang") if c in src.columns
+        ] + ["sha256"]
+        carry_types = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+        schema = fused_chunk_schema(carry, carry_types)
+        from simplir_spark.functions.tokenize import jvm_clean_text_expr
+
+        heavy = (
+            src.withColumn("_bucket", bucket_expr("doc_key", cuts))
+            .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_bucket") + 1))
+            .repartition(n_buckets, "_xb")
+            .sortWithinPartitions("_bucket", "doc_key")
+            .withColumn("_clean", jvm_clean_text_expr("content"))
+            .drop("content")
+        )
+        return heavy.mapInArrow(
+            make_fused_chunk_kernel(offsets, carry, run_size), schema
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    r_chunks = runner.run_df_stage("chunks", build_chunks)
+    chunks = spark.read.parquet(r_chunks.output)
+    doc_cols = [
+        c for c in chunks.columns
+        if c not in {"row_kind"} | set(_RUN_COLS)
+    ]
+
+    r_doc = runner.run_df_stage(
+        "docmeta",
+        # row_kind min/max prunes the pure row groups; the heavy blob
+        # columns are never read (column pruning)
+        lambda: chunks.filter(F.col("row_kind") == 0).select(*doc_cols),
+        upstream=["chunks"],
+        sort_within_partitions=["did"],
+    )
+
+    def build_postings_from_chunks() -> DataFrame:
+        runs = chunks.filter(F.col("row_kind") == 1).select(*_RUN_COLS)
+        # boundary cuts from the runs themselves: every full run is an
+        # equal-posting-mass sample point, so (term, start_did) run keys
+        # are better balanced than a doc sample
+        sample = [
+            (r["term"], int(r["start_did"]))
+            for r in runs.select("term", "start_did")
+            .sample(False, min(1.0, max(2000.0, n_partitions * 25.0) / max(r_chunks.rows or 1, 1)), seed=42)
+            .limit(200_000)
+            .collect()
+        ]
+        cuts = term_did_cuts(sample, n_partitions)
+        if not cuts:
+            return runs.coalesce(1)
+        n_buckets = len(cuts) + 1
+        xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
+        return (
+            runs.withColumn("_b", term_did_bucket_expr(cuts, did_col="start_did"))
+            .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_b") + 1))
+            .repartition(n_buckets, "_xb")
+            .drop("_b", "_xb")
+        )
+
+    r_post = runner.run_df_stage(
+        "postings",
+        build_postings_from_chunks,
+        upstream=["chunks"],
+        sort_within_partitions=["term", "start_did"],
+    )
+
+    runner.run_df_stage(
+        "term_stats",
+        lambda: spark.read.parquet(r_post.output)
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf")),
+        upstream=["postings"],
+    )
+
+    runner.run_json_stage(
+        "corpus_stats",
+        lambda: corpus_stats_agg(
+            spark.read.parquet(r_doc.output)
+        ).collect()[0].asDict(),
+        upstream=["docmeta"],
+    )
+    return paths
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -702,6 +1057,7 @@ def build_index(
     params_fp: dict | None = None,
     with_positions: bool = False,
     docs_per_bucket: int = DOCS_PER_BUCKET_DEFAULT,
+    fused: bool = False,
 ) -> IndexPaths:
     """Build a complete index directory from a corpus DataFrame.
 
@@ -710,12 +1066,21 @@ def build_index(
     positional payload (per-posting occurrence positions) — DiskIndex's
     payload genericity (Types.hs:139-158).
 
+    ``fused`` (tf path only) runs tokenize AND run encoding in ONE heavy
+    stage whose output holds docmeta rows + encoded runs side by side —
+    the per-doc terms/tfs lists (the largest intermediate, roughly the
+    text volume again) are never written or re-read.  Trade-off: the
+    tokenized checkpoint disappears, so a resume re-runs the whole heavy
+    pass instead of just its downstream.
+
     When ``n_partitions`` is not given it SCALES WITH THE CORPUS:
     ceil(n_docs / docs_per_bucket) buckets (floor: shuffle partitions,
     cap: MAX_AUTO_PARTITIONS) — bounding the per-task memory of the
     partition run encoder regardless of corpus size, like the reference's
     fixed 64000-doc chunks.
     """
+    if fused and with_positions:
+        raise ValueError("fused build supports the tf payload only")
     n_docs_known: int | None = None
     if n_partitions is None:
         shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -729,9 +1094,14 @@ def build_index(
             "run_size": run_size,
             "n_partitions": n_partitions,
             "with_positions": with_positions,
+            **({"fused": True} if fused else {}),
             **(params_fp or {}),
         },
     )
+    if fused:
+        return _build_index_fused(
+            spark, corpus, paths, runner, n_partitions, run_size, n_docs_known
+        )
 
     def build_docmeta() -> DataFrame:
         # One slim pass for id bookkeeping, ONE heavy pass for everything

@@ -541,3 +541,36 @@ def test_bm25_indexed_plan_broadcasts_and_prunes(spark, index_dir):
     # plan, AQE prints initial+current sections so allow the double
     assert 0 < plan.count("Exchange hashpartitioning") <= 4, plan
     assert "IN (" in plan or "In(term" in plan, plan  # term pruning reached the scan
+
+
+def test_fused_build_matches_two_stage(spark, corpus_small, index_dir, oracle_idx, tmp_path_factory):
+    """The fused (single-heavy-pass) build must be value-identical to the
+    two-stage build: same docmeta, term stats, postings, and
+    rank-identical BM25 — only the stage graph (and the absence of the
+    terms/tfs intermediate) differs."""
+    d = str(tmp_path_factory.mktemp("fused") / "idx")
+    build_index(spark, corpus_small, d, n_partitions=8, run_size=64, fused=True)
+    fi = open_index(spark, d)
+    ti = open_index(spark, index_dir)
+    assert fi.doc_count == ti.doc_count and fi.token_count == ti.token_count
+    assert {(r.term, r.df, r.cf) for r in fi.term_stats.collect()} == {
+        (r.term, r.df, r.cf) for r in ti.term_stats.collect()
+    }
+    assert _postings_map(spark, d) == _postings_map(spark, index_dir)
+    a = {(r.did, r.doc_key, r.doc_len, r.doc_len_alnum) for r in fi.docmeta.collect()}
+    b = {(r.did, r.doc_key, r.doc_len, r.doc_len_alnum) for r in ti.docmeta.collect()}
+    assert a == b
+    got = bm25_indexed(spark, fi, QUERIES, k=K).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, terms in QUERIES:
+        want = bm25_topk(oracle_idx, terms, K)
+        have = sorted(by_q.get(qid, []), key=lambda r: r.rank)
+        assert [(r.rank, r.doc_key) for r in have] == [(rk, ky) for rk, ky, _ in want], qid
+    # resume: second run skips every stage
+    import glob as _glob, json as _json, os as _os
+    build_index(spark, corpus_small, d, n_partitions=8, run_size=64, fused=True)
+    names = {_os.path.basename(f) for f in _glob.glob(_os.path.join(d, "_lineage", "*.json"))}
+    assert names == {"chunks.json", "docmeta.json", "postings.json",
+                     "term_stats.json", "corpus_stats.json"}
