@@ -1057,7 +1057,7 @@ def build_index(
     params_fp: dict | None = None,
     with_positions: bool = False,
     docs_per_bucket: int = DOCS_PER_BUCKET_DEFAULT,
-    fused: bool = False,
+    fused: bool | None = None,
 ) -> IndexPaths:
     """Build a complete index directory from a corpus DataFrame.
 
@@ -1066,12 +1066,13 @@ def build_index(
     positional payload (per-posting occurrence positions) — DiskIndex's
     payload genericity (Types.hs:139-158).
 
-    ``fused`` (tf path only) runs tokenize AND run encoding in ONE heavy
-    stage whose output holds docmeta rows + encoded runs side by side —
-    the per-doc terms/tfs lists (the largest intermediate, roughly the
-    text volume again) are never written or re-read.  Trade-off: the
-    tokenized checkpoint disappears, so a resume re-runs the whole heavy
-    pass instead of just its downstream.
+    ``fused`` (tf path only; THE DEFAULT there) runs tokenize AND run
+    encoding in ONE heavy stage whose output holds docmeta rows +
+    encoded runs side by side — the per-doc terms/tfs lists (the largest
+    intermediate, roughly the text volume again) are never written or
+    re-read.  Pass ``fused=False`` for the two-stage layout with its
+    finer resume granularity (a wiped postings dir rebuilds without
+    re-tokenizing); positional builds always use it.
 
     When ``n_partitions`` is not given it SCALES WITH THE CORPUS:
     ceil(n_docs / docs_per_bucket) buckets (floor: shuffle partitions,
@@ -1079,7 +1080,9 @@ def build_index(
     partition run encoder regardless of corpus size, like the reference's
     fixed 64000-doc chunks.
     """
-    if fused and with_positions:
+    if fused is None:
+        fused = not with_positions
+    elif fused and with_positions:
         raise ValueError("fused build supports the tf payload only")
     n_docs_known: int | None = None
     if n_partitions is None:

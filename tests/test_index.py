@@ -118,13 +118,17 @@ def test_bm25_indexed_rank_identical(spark, index_dir, oracle_idx):
             assert abs(r.score - score) <= REL_TOL * max(1.0, abs(score))
 
 
-def test_resume_skips_all_stages(spark, corpus_small, index_dir):
+def test_resume_skips_all_stages(spark, corpus_small, tmp_path_factory):
     from simplir_spark.plans.pipeline import PipelineRunner  # noqa: F401
 
-    # second build over the same inputs: every stage must be skipped
+    # two-stage layout pinned: this test covers ITS lineage contract;
+    # the fused layout's resume skip is covered by the fused-build test
     import io, json, os
-    paths = build_index(spark, corpus_small, index_dir, n_partitions=8, run_size=64)
-    lineage = os.path.join(index_dir, "_lineage")
+    d = str(tmp_path_factory.mktemp("resume_all") / "idx")
+    build_index(spark, corpus_small, d, n_partitions=8, run_size=64, fused=False)
+    # second build over the same inputs: every stage must be skipped
+    paths = build_index(spark, corpus_small, d, n_partitions=8, run_size=64, fused=False)
+    lineage = os.path.join(d, "_lineage")
     assert {f for f in os.listdir(lineage)} == {
         "tokenized.json", "postings.json", "term_stats.json", "corpus_stats.json",
     }
@@ -238,7 +242,7 @@ def test_partial_resume_rebuilds_only_downstream(spark, corpus_small, tmp_path_f
     import json, os, shutil
 
     out = str(tmp_path_factory.mktemp("resume") / "idx")
-    build_index(spark, corpus_small, out, n_partitions=4, run_size=64)
+    build_index(spark, corpus_small, out, n_partitions=4, run_size=64, fused=False)
 
     def mtimes():
         return {
@@ -248,7 +252,7 @@ def test_partial_resume_rebuilds_only_downstream(spark, corpus_small, tmp_path_f
 
     before = mtimes()
     shutil.rmtree(os.path.join(out, "postings"))
-    build_index(spark, corpus_small, out, n_partitions=4, run_size=64)
+    build_index(spark, corpus_small, out, n_partitions=4, run_size=64, fused=False)
     after = mtimes()
     assert after["tokenized.json"] == before["tokenized.json"]  # skipped
     assert after["postings.json"] > before["postings.json"]     # rebuilt
