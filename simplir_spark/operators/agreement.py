@@ -22,13 +22,15 @@ def cohen_kappa(
 ) -> DataFrame:
     """Cohen's kappa between two assessors over shared items.
 
-    a/b: (item, label), one label per item per side (duplicates are
-    dropped deterministically).  kappa = (po - pe) / (1 - pe) with
+    a/b: (item, label), one label per item per side.  An item carrying
+    several labels on one side keeps the MINIMUM label — a deterministic
+    choice independent of partitioning (dropDuplicates would keep an
+    arbitrary row).  kappa = (po - pe) / (1 - pe) with
     po = observed agreement rate, pe = sum_k pA(k)·pB(k)
     (Agreement.hs `cohenKappa`).  Returns one row (n_items, po, pe, kappa).
     """
-    a1 = a.select(item_col, F.col(label_col).alias("_la")).dropDuplicates([item_col])
-    b1 = b.select(item_col, F.col(label_col).alias("_lb")).dropDuplicates([item_col])
+    a1 = a.groupBy(item_col).agg(F.min(label_col).alias("_la"))
+    b1 = b.groupBy(item_col).agg(F.min(label_col).alias("_lb"))
     j = a1.join(b1, item_col).cache()
     n = j.count()
     spark = a.sparkSession

@@ -107,12 +107,36 @@ def sample_boundaries(
     return sorted(set(cuts))
 
 
-def bucket_expr(key_col: str, cuts: list[str]):
-    """bucket = number of cuts <= key (0..len(cuts)); pure, deterministic."""
+def _bucket_expr_linear(key_col: str, cuts: list[str]):
+    """O(n_cuts)-per-row reference form, kept for the parity test only."""
     if not cuts:
         return F.lit(0)
     arr = F.array([F.lit(c) for c in cuts])
     return F.size(F.filter(arr, lambda c: c <= F.col(key_col)))
+
+
+def bucket_expr(key_col: str, cuts: list[str]):
+    """bucket = number of cuts <= key (0..len(cuts)); pure, deterministic.
+
+    Emitted as a driver-built nested-CASE binary search: the expression
+    tree has one WHEN node per cut but evaluation follows a single
+    root-to-leaf path, so a row pays ceil(log2(n_cuts)) comparisons — 15
+    at the 32k-bucket cap — instead of the previous O(n_cuts) array scan
+    (which was O(n_docs x n_buckets) across the corpus and hit both the
+    slim counting pass and the heavy pass).
+    """
+    if not cuts:
+        return F.lit(0)
+    key = F.col(key_col)
+
+    def build(lo: int, hi: int):
+        # possible bucket values in [lo, hi]; bucket > mid iff cuts[mid] <= key
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(F.lit(cuts[mid]) <= key, build(mid + 1, hi)).otherwise(build(lo, mid))
+
+    return build(0, len(cuts))
 
 
 def bucket_offsets(df: DataFrame, key_col: str, cuts: list[str]) -> dict[int, int]:
@@ -897,8 +921,8 @@ def term_did_cuts(pairs_sample: list[tuple], n_partitions: int) -> list[tuple]:
     return sorted(set(cuts))
 
 
-def term_did_bucket_expr(cuts: list[tuple], did_col: str = "did"):
-    """bucket = number of cuts <= (term, did), lexicographic — pure expr."""
+def _term_did_bucket_expr_linear(cuts: list[tuple], did_col: str = "did"):
+    """O(n_cuts)-per-row reference form, kept for the parity test only."""
     if not cuts:
         return F.lit(0)
     arr = F.array([F.struct(F.lit(t).alias("t"), F.lit(int(d)).alias("d")) for t, d in cuts])
@@ -906,6 +930,30 @@ def term_did_bucket_expr(cuts: list[tuple], did_col: str = "did"):
     return F.size(
         F.filter(arr, lambda c: (c["t"] < term) | ((c["t"] == term) & (c["d"] <= did)))
     )
+
+
+def term_did_bucket_expr(cuts: list[tuple], did_col: str = "did"):
+    """bucket = number of cuts <= (term, did), lexicographic — pure expr.
+
+    Nested-CASE binary search (see ``bucket_expr``): log-depth per-row
+    evaluation instead of an O(n_cuts) array scan.
+    """
+    if not cuts:
+        return F.lit(0)
+    term, did = F.col("term"), F.col(did_col)
+
+    def cut_le(t: str, d: int):
+        # cut (t, d) <= row (term, did), lexicographic with did inclusive
+        return (F.lit(t) < term) | ((F.lit(t) == term) & (F.lit(int(d)) <= did))
+
+    def build(lo: int, hi: int):
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        t, d = cuts[mid]
+        return F.when(cut_le(t, d), build(mid + 1, hi)).otherwise(build(lo, mid))
+
+    return build(0, len(cuts))
 
 
 # ---------------------------------------------------------------------------
@@ -1003,11 +1051,15 @@ def _build_index_fused(
         runs = chunks.filter(F.col("row_kind") == 1).select(*_RUN_COLS)
         # boundary cuts from the runs themselves: every full run is an
         # equal-posting-mass sample point, so (term, start_did) run keys
-        # are better balanced than a doc sample
+        # are better balanced than a doc sample.  The sample denominator
+        # is the RUN row count (chunks rows minus docmeta rows) — dividing
+        # by total chunk rows would undershoot the target ~25 keys/cut by
+        # the docmeta fraction and starve the postings stage of cuts.
+        n_runs = max((r_chunks.rows or 1) - (r_doc.rows or 0), 1)
         sample = [
             (r["term"], int(r["start_did"]))
             for r in runs.select("term", "start_did")
-            .sample(False, min(1.0, max(2000.0, n_partitions * 25.0) / max(r_chunks.rows or 1, 1)), seed=42)
+            .sample(False, min(1.0, max(2000.0, n_partitions * 25.0) / n_runs), seed=42)
             .limit(200_000)
             .collect()
         ]

@@ -145,13 +145,25 @@ def compact_postings(
                 out.append(buf[0])
             else:
                 dids_l, tfs_l, dls_l, pos_l = [], [], [], []
+                n_with_pos = 0
                 for row in buf:
                     d, t, dl = codec.decode_run(row[1], row[3], row[6], row[7], row[8])
                     dids_l.append(d)
                     tfs_l.append(t)
                     dls_l.append(dl)
                     if has_pos and isinstance(row[9], (bytes, bytearray)):
+                        n_with_pos += 1
                         pos_l.extend(codec.decode_positions(bytes(row[9]), t))
+                # positional blobs must be all-or-none within a term's
+                # buffer: a mixed buffer would leave pos_l shorter than
+                # the postings and pos_l[s:e] would assign positions to
+                # the wrong postings
+                if n_with_pos not in (0, len(buf)):
+                    raise ValueError(
+                        f"compact_postings: term {buf_term!r} mixes positional "
+                        f"({n_with_pos}) and non-positional ({len(buf) - n_with_pos}) "
+                        "short runs; cannot merge without misaligning positions"
+                    )
                 dids = np.concatenate(dids_l)
                 tfs = np.concatenate(tfs_l)
                 dls = np.concatenate(dls_l)

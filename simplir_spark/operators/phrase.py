@@ -169,3 +169,60 @@ def phrase_match_positional(
     return matched.groupBy("phrase_id", "shard").applyInPandas(
         score_group, "phrase_id string, did long, tf long"
     )
+
+
+def phrase_unit_rows(
+    tokenized: DataFrame,
+    phrases: list[list[str]],
+    id_col: str = "doc_key",
+    carry_cols: tuple[str, ...] = ("doc_len",),
+) -> DataFrame:
+    """Phrase occurrences as TERM-shaped rows for the query DSL:
+    (id, *carry, term, tf) where ``term`` is the whitespace-joined phrase
+    string — the unit name a DSL `retrieve`/`cond` node refers to
+    (splitTerms, Query.hs:211-216: a query string with spaces IS a
+    phrase).
+
+    The rows union directly with ``doc_term_tfs`` output, so phrase df/cf
+    fall out of the same term_stats aggregation — exactly the reference's
+    corpus-stats fold, which appends `Phrase` pseudo-terms to each doc's
+    token list before counting (Streaming.hs:168-172, foldTermStats
+    Streaming.hs:236-248).  Trie semantics over the filtered sequence,
+    as in ``phrase_match_scan``.
+    """
+    cols = [id_col, *carry_cols]
+    tok = tokenized.select(*cols, "terms")
+    plist = [(" ".join(p), list(p)) for p in phrases]
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            name_out, tf_out = [], []
+            for row in pdf.itertuples(index=False):
+                terms = getattr(row, "terms")
+                if terms is None or len(terms) == 0:
+                    continue
+                arr = np.asarray(terms, dtype=object)
+                n = len(arr)
+                for name, p in plist:
+                    m = len(p)
+                    if m == 0 or m > n:
+                        continue
+                    hit = arr[: n - m + 1] == p[0]
+                    for j in range(1, m):
+                        hit = hit & (arr[j : n - m + 1 + j] == p[j])
+                    tf = int(hit.sum())
+                    if tf:
+                        for c in cols:
+                            out[c].append(getattr(row, c))
+                        name_out.append(name)
+                        tf_out.append(tf)
+            out_pdf = pd.DataFrame(out, columns=cols)
+            out_pdf["term"] = name_out
+            out_pdf["tf"] = np.asarray(tf_out, dtype=np.int64)
+            yield out_pdf
+
+    carry_schema = ", ".join(
+        f"{c} {tokenized.schema[c].dataType.simpleString()}" for c in cols
+    )
+    return tok.mapInPandas(kernel, f"{carry_schema}, term string, tf long")

@@ -45,8 +45,10 @@ def lm_cross_entropy(
     Returns (id, n_bigrams, cross_entropy); docs with < 2 terms carry
     n_bigrams = 0 and NULL entropy.  Shuffle shape: one groupBy for the
     bigram counts, one for the context counts, one join of the doc
-    bigrams against the count tables (context counts broadcast — vocab
-    sized; bigram counts equi-joined).
+    bigrams against the count tables.  BOTH count tables are equi-joined
+    (shuffle hash), never broadcast: the context table has one row per
+    vocabulary TYPE, and at web scale (10^8+ types) that exceeds any
+    broadcast budget even though it looks small at test scale.
     """
     from pyspark import StorageLevel
 
@@ -64,7 +66,7 @@ def lm_cross_entropy(
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (
         bg.join(c12, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        .join(c1, "w1")
         .withColumn(
             "_lp",
             F.log(

@@ -308,6 +308,9 @@ def ql_dirichlet_indexed(
     return _resolve_doc_keys(spark, index, topk)
 
 
+_live_topk_caches: list[DataFrame] = []
+
+
 def _resolve_doc_keys(spark: SparkSession, index: IndexHandle, topk: DataFrame) -> DataFrame:
     """doc_key resolution for a (query_id, did, rank, score) top-k.
 
@@ -317,8 +320,20 @@ def _resolve_doc_keys(spark: SparkSession, index: IndexHandle, topk: DataFrame) 
     partitions.  The returned plan joins docmeta against the REAL top-k
     DataFrame (broadcast), so lineage/AQE stay intact — no
     createDataFrame round-trip of the scores through the driver.
+
+    Cache lifecycle: each call evicts the PREVIOUS call's persisted top-k
+    (module registry), so repeated indexed queries hold at most one tiny
+    cached block set instead of accumulating for the session's lifetime.
+    A previous result re-collected after eviction recomputes — correct,
+    just unpersisted.
     """
+    while _live_topk_caches:
+        try:
+            _live_topk_caches.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session may be stopped; eviction is best-effort
     topk = topk.persist()
+    _live_topk_caches.append(topk)
     dids = sorted(r["did"] for r in topk.select("did").distinct().collect())
     if not dids:
         key_type = index.docmeta.schema["doc_key"].dataType.simpleString()

@@ -10,6 +10,15 @@ Node forms (JSON-ish dicts):
                                 # factor may be "{{param}}"
   {"type": "retrieve", "model": "bm25"|"tfidf"|"ql_dirichlet",
    "terms": ["..."], "params": {"k1": ..., "b": ...}}
+                                # a terms entry CONTAINING WHITESPACE is a
+                                # PHRASE (splitTerms, Query.hs:211-216: one
+                                # token -> Token, several -> Phrase): it
+                                # matches trie-style over the filtered term
+                                # sequence (findPhrases Streaming.hs:472-480)
+                                # and scores as a pseudo-term whose tf is the
+                                # occurrence count and whose df/cf come from
+                                # the same corpus-wide stats fold that counts
+                                # tokens (Streaming.hs:168-172, 236-248)
   {"type": "cond", "predicate_terms": ["..."], "negated": false,
    "then": ..., "else": ...}    # then-branch iff doc contains ALL predicate
                                 # terms (xor negated) — Streaming.hs:304-318
@@ -79,6 +88,13 @@ def resolve_params(node: Any, params: dict[str, Any]) -> Any:
     return node
 
 
+def _canon_unit(u: str) -> str:
+    """Canonical unit name: whitespace-normalized.  Several tokens = a
+    phrase (splitTerms, Query.hs:211-216); the phrase's unit name is the
+    space-joined token list."""
+    return " ".join(u.split())
+
+
 def _collect(node: dict, leaves: list[dict], preds: list[list[str]]) -> None:
     t = node["type"]
     if t == "retrieve":
@@ -89,13 +105,52 @@ def _collect(node: dict, leaves: list[dict], preds: list[list[str]]) -> None:
     elif t in ("scale", "feature"):
         _collect(node["child"], leaves, preds)
     elif t == "cond":
-        preds.append(sorted(set(node["predicate_terms"])))
+        preds.append(sorted({_canon_unit(x) for x in node["predicate_terms"]}))
         _collect(node["then"], leaves, preds)
         _collect(node["else"], leaves, preds)
     elif t in ("const", "drop"):
         pass
     else:
         raise ValueError(f"unknown node type {t}")
+
+
+def _matched_rows(corpus: DataFrame, all_units: list[str]):
+    """Shared leaf-matching front end: ONE tokenizer pass, term rows
+    filtered to the unit list, phrase units (names containing a space)
+    matched trie-style and unioned in as pseudo-term rows so phrase df/cf
+    fall out of the same term_stats aggregation (the reference's
+    corpus-stats fold appends Phrase pseudo-terms to each doc's token
+    list before counting, Streaming.hs:168-172).
+
+    Returns (rows, doc_count, token_count, avg_doc_len); ``rows`` carries
+    (doc_key, doc_len, term, tf, df, cf).  token_count counts TOKENS only
+    (collLength = sum of docLength, Streaming.hs:231-234) — phrase
+    occurrences do not inflate the background denominator.
+    """
+    term_units = sorted(u for u in all_units if " " not in u)
+    phrase_units = sorted(u for u in all_units if " " in u)
+
+    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len")
+    if phrase_units:
+        # the phrase kernel is a second linear pass over the token arrays
+        # — cache them rather than re-running the tokenizer
+        tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = doc_term_tfs(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
+    doc_count = corpus.count()
+    tc = pairs.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tc")).collect()[0]["tc"]
+    token_count = int(tc)
+    avg_doc_len = token_count / doc_count if doc_count else 1.0
+
+    matched = pairs.filter(F.col("term").isin(term_units))
+    if phrase_units:
+        from simplir_spark.operators.phrase import phrase_unit_rows
+
+        matched = matched.unionByName(
+            phrase_unit_rows(tokenized, [u.split(" ") for u in phrase_units])
+        )
+    ts = term_stats(matched)
+    rows = matched.join(F.broadcast(ts), "term")
+    return rows, doc_count, token_count, avg_doc_len
 
 
 def _leaf_term_score(leaf: dict, doc_count: int, avg_doc_len: float, token_count: int) -> Column:
@@ -136,26 +191,15 @@ def compile_query(
     if not leaves and not preds:
         raise ValueError("query has no retrieval leaves")
 
-    all_terms = sorted(
-        {t for lf in leaves for t in lf["terms"]} | {t for pr in preds for t in pr}
+    all_units = sorted(
+        {_canon_unit(t) for lf in leaves for t in lf["terms"]}
+        | {t for pr in preds for t in pr}
     )
-
-    # ONE tokenizer pass (cf. bm25_scan): stats derive from the persisted
-    # pairs; doc_count is a column-pruned row count
-    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len")
-    pairs = doc_term_tfs(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
-    doc_count = corpus.count()
-    tc = pairs.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tc")).collect()[0]["tc"]
-    token_count = int(tc)
-    avg_doc_len = token_count / doc_count if doc_count else 1.0
-
-    matched = pairs.filter(F.col("term").isin(all_terms))
-    ts = term_stats(matched)
-    rows = matched.join(F.broadcast(ts), "term")
+    rows, doc_count, token_count, avg_doc_len = _matched_rows(corpus, all_units)
 
     aggs: list[Column] = []
     for i, lf in enumerate(leaves):
-        terms = sorted(set(lf["terms"]))
+        terms = sorted({_canon_unit(t) for t in lf["terms"]})
         score = _leaf_term_score(lf, doc_count, avg_doc_len, token_count)
         aggs.append(
             F.sum(F.when(F.col("term").isin(terms), score).otherwise(F.lit(0.0))).alias(f"_leaf{i}")
@@ -206,7 +250,7 @@ def compile_query(
         if t == "retrieve":
             return F.col(f"_leaf{next(leaf_iter)}")
         if t == "cond":
-            pr = tuple(sorted(set(node["predicate_terms"])))
+            pr = tuple(sorted({_canon_unit(x) for x in node["predicate_terms"]}))
             have_all = F.col(f"_pred{pred_ix[pr]}") == len(pr)
             if node.get("negated", False):
                 have_all = ~have_all
@@ -262,28 +306,16 @@ def compile_query_grid(
     # dedupe predicate sets (same template -> same predicates per set)
     preds = [list(p) for p in sorted({tuple(p) for p in preds})]
 
-    all_terms = sorted(
-        {t for lv in per_set_leaves.values() for lf in lv for t in lf["terms"]}
+    all_units = sorted(
+        {_canon_unit(t) for lv in per_set_leaves.values() for lf in lv for t in lf["terms"]}
         | {t for pr in preds for t in pr}
     )
-
-    # ONE tokenizer pass (cf. bm25_scan): stats derive from the persisted
-    # pairs; doc_count is a column-pruned row count
-    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len")
-    pairs = doc_term_tfs(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
-    doc_count = corpus.count()
-    tc = pairs.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tc")).collect()[0]["tc"]
-    token_count = int(tc)
-    avg_doc_len = token_count / doc_count if doc_count else 1.0
-
-    matched = pairs.filter(F.col("term").isin(all_terms))
-    ts = term_stats(matched)
-    rows = matched.join(F.broadcast(ts), "term")
+    rows, doc_count, token_count, avg_doc_len = _matched_rows(corpus, all_units)
 
     aggs: list[Column] = []
     for name, leaves in per_set_leaves.items():
         for i, lf in enumerate(leaves):
-            terms = sorted(set(lf["terms"]))
+            terms = sorted({_canon_unit(t) for t in lf["terms"]})
             score = _leaf_term_score(lf, doc_count, avg_doc_len, token_count)
             aggs.append(
                 F.sum(F.when(F.col("term").isin(terms), score).otherwise(F.lit(0.0)))
@@ -312,7 +344,7 @@ def compile_query_grid(
         if t == "retrieve":
             return F.col(f"_{prefix}_leaf{next(leaf_iter)}")
         if t == "cond":
-            pr = tuple(sorted(set(node["predicate_terms"])))
+            pr = tuple(sorted({_canon_unit(x) for x in node["predicate_terms"]}))
             have_all = F.col(f"_pred{pred_ix[pr]}") == len(pr)
             if node.get("negated", False):
                 have_all = ~have_all

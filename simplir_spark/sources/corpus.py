@@ -10,6 +10,8 @@ which is mapped onto the native shape deterministically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,7 +39,9 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
         # reader splits and decompresses per-file natively, so a directory
         # of .jsonl.gz shards parallelizes like any file source)
         df = spark.read.json(path)
-    elif "/" not in path and not path.endswith(".parquet"):
+    elif "/" not in path and not path.endswith(".parquet") and not os.path.isdir(path):
+        # slash-free AND not a local directory -> catalog identifier; a
+        # bare relative directory name still reads as parquet below
         df = spark.read.table(path)
     elif path.endswith(".parquet") or path.endswith("/"):
         df = spark.read.parquet(path)

@@ -114,6 +114,11 @@ def write_results_json(
     meta: dict[int, tuple[int, str]] = {}
     if doc_meta is not None:
         cols = doc_meta.columns
+        # bound the collect to the run's documents (queries x k rows), the
+        # same bound the positions/run sides already have — a caller
+        # passing the full corpus docmeta table must not collect it all
+        run_keys = run.select("doc_key").distinct()
+        doc_meta = doc_meta.join(run_keys, "doc_key", "left_semi")
         for r in doc_meta.collect():
             meta[int(r["doc_key"])] = (
                 int(r["doc_len"]) if "doc_len" in cols else 0,

@@ -32,6 +32,7 @@ class OracleIndex:
     doc_lens: list[int] = field(default_factory=list)  # len(terms) per doc
     doc_lens_alnum: list[int] = field(default_factory=list)
     tfs: list[dict[str, int]] = field(default_factory=list)  # per-doc term -> tf
+    seqs: list[list[str]] = field(default_factory=list)  # per-doc term sequence
     df: Counter = field(default_factory=Counter)
     cf: Counter = field(default_factory=Counter)
     token_count: int = 0  # corpusTokenCount = sum(len(terms))
@@ -55,6 +56,7 @@ def build_oracle_index(docs: list[tuple[str, str]]) -> OracleIndex:
         idx.doc_lens.append(len(terms))
         idx.doc_lens_alnum.append(dl_alnum)
         idx.tfs.append(dict(tf))
+        idx.seqs.append(list(terms))
         for t, n in tf.items():
             idx.df[t] += 1
             idx.cf[t] += n

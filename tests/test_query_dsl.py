@@ -21,6 +21,27 @@ def oracle_idx():
     return build_oracle_index([(f"doc{int(i):012d}", t) for i, t in rows])
 
 
+def _phrase_tf(seq, toks):
+    m, n = len(toks), len(seq)
+    if m == 0 or m > n:
+        return 0
+    return sum(1 for i in range(n - m + 1) if seq[i : i + m] == toks)
+
+
+def _unit_tf(idx, doc_i, unit):
+    toks = unit.split()
+    if len(toks) == 1:
+        return idx.tfs[doc_i].get(unit, 0)
+    return _phrase_tf(idx.seqs[doc_i], toks)
+
+
+def _unit_df(idx, unit):
+    toks = unit.split()
+    if len(toks) == 1:
+        return idx.df.get(unit, 0)
+    return sum(1 for i in range(idx.doc_count) if _phrase_tf(idx.seqs[i], toks) > 0)
+
+
 def _oracle_eval(idx, node, doc_i):
     t = node["type"]
     if t == "const":
@@ -35,24 +56,24 @@ def _oracle_eval(idx, node, doc_i):
     if t == "scale":
         return float(node["factor"]) * _oracle_eval(idx, node["child"], doc_i)
     if t == "retrieve":
-        tfs = idx.tfs[doc_i]
-        terms = sorted(set(node["terms"]))
+        terms = sorted({" ".join(u.split()) for u in node["terms"]})
         p = node.get("params", {})
         model = node.get("model", "bm25")
         s = 0.0
         for term in terms:
-            if term not in tfs:
+            tf = _unit_tf(idx, doc_i, term)
+            if tf == 0:
                 continue
             if model == "bm25":
                 s += bm25_term(
-                    tfs[term], idx.doc_lens[doc_i], idx.df[term], idx.doc_count,
+                    tf, idx.doc_lens[doc_i], _unit_df(idx, term), idx.doc_count,
                     idx.avg_doc_len, p.get("k1", 1.1), p.get("b", 0.4),
                 )
             elif model == "tfidf":
-                s += tfidf_term(tfs[term], idx.df[term], idx.doc_count)
+                s += tfidf_term(tf, _unit_df(idx, term), idx.doc_count)
         return s
     if t == "cond":
-        have = all(p in idx.tfs[doc_i] for p in set(node["predicate_terms"]))
+        have = all(_unit_tf(idx, doc_i, p) > 0 for p in set(node["predicate_terms"]))
         if node.get("negated", False):
             have = not have
         return _oracle_eval(idx, node["then"] if have else node["else"], doc_i)
@@ -78,8 +99,9 @@ def _oracle_topk(idx, tree, k):
     terms = set()
     _collect_terms(tree, terms)
     scored = []
+    units = {" ".join(t.split()) for t in terms}
     for i in range(idx.doc_count):
-        if not any(t in idx.tfs[i] for t in terms):
+        if not any(_unit_tf(idx, i, u) > 0 for u in units):
             continue
         scored.append((_oracle_eval(idx, tree, i), idx.doc_keys[i]))
     scored.sort(key=lambda s: (-s[0], s[1]))
@@ -243,3 +265,62 @@ def test_l2r_trains_on_dsl_features(spark, corpus_small):
     )
     w, m = coordinate_ascent(spark, features, qrels, n_features=2, n_iters=1)
     assert len(w) == 2 and 0.0 <= m <= 1.0
+
+
+PHRASE_TREES = [
+    # phrase leaf mixed with a plain term in one retrieve node
+    # (TokenOrPhrase, Query.hs:211-216: a query string with spaces IS a
+    # phrase; scored as a pseudo-term with trie-match tf and corpus-wide
+    # phrase df)
+    {
+        "type": "sum",
+        "children": [
+            {"type": "retrieve", "model": "bm25", "terms": ["hash join", "merge"]},
+            {"type": "const", "value": 0.25},
+        ],
+    },
+    # phrase as a cond predicate (CondNode predicateTerms are
+    # TokenOrPhrase too, Query.hs:183)
+    {
+        "type": "cond",
+        "predicate_terms": ["hash join"],
+        "negated": False,
+        "then": {"type": "scale", "factor": 3.0,
+                 "child": {"type": "retrieve", "model": "tfidf", "terms": ["merge"]}},
+        "else": {"type": "retrieve", "model": "tfidf", "terms": ["merge"]},
+    },
+]
+
+
+@pytest.mark.parametrize("tree_ix", range(len(PHRASE_TREES)))
+def test_dsl_phrase_leaves_match_oracle(spark, corpus_small, oracle_idx, tree_ix):
+    tree = PHRASE_TREES[tree_ix]
+    got = sorted(compile_query(spark, corpus_small, tree, k=10).collect(), key=lambda r: r.rank)
+    want = _oracle_topk(oracle_idx, tree, 10)
+    assert len(got) == len(want) > 0
+    for r, (rank, key, score) in zip(got, want):
+        assert (r.rank, r.doc_key) == (rank, key)
+        assert abs(r.score - score) <= REL * max(1.0, abs(score))
+
+
+def test_dsl_phrase_in_grid(spark, corpus_small, oracle_idx):
+    from simplir_spark.plans.query_dsl import compile_query_grid
+
+    template = {
+        "type": "scale", "factor": "{{w}}",
+        "child": {"type": "retrieve", "model": "bm25", "terms": ["hash join", "merge"]},
+    }
+    got = compile_query_grid(
+        spark, corpus_small, template,
+        {"a": {"w": 1.0}, "b": {"w": 2.5}}, k=5,
+    ).collect()
+    by_set = {}
+    for r in got:
+        by_set.setdefault(r.param_set, []).append(r)
+    for name, w in (("a", 1.0), ("b", 2.5)):
+        tree = {"type": "scale", "factor": w, "child": template["child"]}
+        want = _oracle_topk(oracle_idx, tree, 5)
+        have = sorted(by_set[name], key=lambda r: r.rank)
+        assert [(r.rank, r.doc_key) for r in have] == [(rk, ky) for rk, ky, _ in want]
+        for r, (_, _, score) in zip(have, want):
+            assert abs(r.score - score) <= REL * max(1.0, abs(score))
