@@ -276,6 +276,27 @@ def q_query_dsl_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("doc_key", "doc_id")
 
 
+# Phrase-bearing DSL tree (TokenOrPhrase leaves, Query.hs:211-216): a
+# retrieve node mixing the phrase "hash join" with the term "merge"
+DSL_PHRASE_TREE = {
+    "type": "sum",
+    "children": [
+        {"type": "retrieve", "model": "bm25", "terms": ["hash join", "merge"]},
+        {"type": "const", "value": 0.25},
+    ],
+}
+
+
+def q_query_dsl_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase leaves inside a DSL retrieve node: the phrase scores as a
+    pseudo-term (trie-match tf, corpus-wide df from the same stats fold
+    as tokens — Streaming.hs:168-172)."""
+    from simplir_spark.plans.query_dsl import compile_query
+
+    res = compile_query(spark, _corpus(spark, sf_dir), DSL_PHRASE_TREE, k=K, round_dp=DP)
+    return res.withColumnRenamed("doc_key", "doc_id")
+
+
 def q_ql_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_scan(
         spark, _corpus(spark, sf_dir), QL_QUERIES, k=K, model="ql_jm", jm_alpha=0.5, round_dp=DP
@@ -367,9 +388,11 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors — the scale path next to
-    brute-force q_embedding_cosine_topk.  The seeded hyperplane sketch is
-    not SQL-expressible, so this entry is rows-only checked (no oracle);
-    recall vs brute force is asserted in tests/test_dedup_text.py."""
+    brute-force q_embedding_cosine_topk.  FULLY oracle-checked: the
+    md5-seeded hyperplane matrix is materialized into the oracle SQL as a
+    literal (bit, +/- pattern) table, turning the sign sketch into a
+    SQL sum-of-products; recall vs brute force is additionally asserted
+    in tests/test_dedup_text.py."""
     from simplir_spark.operators.similarity import rp_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -746,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm1_expansion": q_rm1_expansion,
         "query_dsl": q_query_dsl,
         "query_dsl_features": q_query_dsl_features,
+        "query_dsl_phrase": q_query_dsl_phrase,
         "ql_jm_topk": q_ql_jm_topk,
         "ql_laplace_topk": q_ql_laplace_topk,
         "ql_nosmoothing_topk": q_ql_nosmoothing_topk,
@@ -1011,6 +1035,53 @@ def oracle_sql() -> dict[str, str]:
     SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
     """
 
+    from simplir_spark.operators.similarity import _hyperplanes
+
+    _planes = _hyperplanes(64, 16)
+    plane_vals = ", ".join(
+        "({}, '{}')".format(i, "".join("+" if w > 0 else "-" for w in _planes[i]))
+        for i in range(16)
+    )
+    sql["ann_lsh_topk"] = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    planes(bit, pat) AS (VALUES {plane_vals}),
+    pw AS (
+      SELECT bit, g.j, CASE WHEN substr(pat, g.j, 1) = '+' THEN 1.0 ELSE -1.0 END AS w
+      FROM planes, unnest(generate_series(1, 64)) AS g(j)
+    ),
+    sk AS (
+      SELECT e.vec_id, pw.bit, CASE WHEN sum(e.v[pw.j] * pw.w) > 0 THEN 1 ELSE 0 END AS s
+      FROM e, pw
+      GROUP BY e.vec_id, pw.bit
+    ),
+    bk AS (
+      SELECT vec_id, CAST(bit // 4 AS INT) AS band,
+             CAST(sum(s * (CAST(1 AS BIGINT) << (bit % 4))) AS BIGINT) AS bucket
+      FROM sk GROUP BY 1, 2
+    ),
+    qb AS (SELECT vec_id AS query_id, band, bucket FROM bk WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+      FROM qb JOIN bk b ON b.band = qb.band AND b.bucket = qb.bucket
+      WHERE b.vec_id <> qb.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) AS cos
+      FROM cand c
+      JOIN nv q ON q.vec_id = c.query_id
+      JOIN nv t ON t.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+             cos
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+    """
+
     sql["ann_ivf_topk"] = """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
     nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
@@ -1141,6 +1212,48 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY tf.doc_id
     ),
     dslscored AS (SELECT doc_id, round(2.0 * leaf0 + leaf1 + 0.1, 6) AS score FROM leafagg),
+    ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+             score
+      FROM dslscored
+    )
+    SELECT doc_id, rank, score FROM ranked WHERE rank <= {K}
+    """
+
+    sql["query_dsl_phrase"] = f"""
+    WITH {_TOK},
+    tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 2) AS toks
+      FROM documents
+    ),
+    ptf AS (
+      SELECT tk.doc_id, count(*) AS tf
+      FROM tk, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE toks[i] = 'hash' AND toks[i+1] = 'join'
+      GROUP BY tk.doc_id
+    ),
+    pdfc AS (SELECT count(*) AS df FROM ptf),
+    matched AS (
+      SELECT doc_id FROM tf WHERE term = 'merge'
+      UNION
+      SELECT doc_id FROM ptf
+    ),
+    leafagg AS (
+      SELECT m.doc_id,
+        coalesce(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) * t.tf * {1.1 + 1.0!r}
+                 / (t.tf + 1.1 * (0.6 + 0.4 * dl.dl / (s.tok_cnt / s.n))), 0.0)
+      + coalesce(ln(1.0 + (s.n - pd.df + 0.5) / (pd.df + 0.5)) * p.tf * {1.1 + 1.0!r}
+                 / (p.tf + 1.1 * (0.6 + 0.4 * dl.dl / (s.tok_cnt / s.n))), 0.0) AS leaf0
+      FROM matched m
+      JOIN doclen dl ON dl.doc_id = m.doc_id
+      CROSS JOIN stats s
+      CROSS JOIN pdfc pd
+      LEFT JOIN tf t ON t.doc_id = m.doc_id AND t.term = 'merge'
+      LEFT JOIN df ON df.term = 'merge'
+      LEFT JOIN ptf p ON p.doc_id = m.doc_id
+    ),
+    dslscored AS (SELECT doc_id, round(leaf0 + 0.25, 6) AS score FROM leafagg),
     ranked AS (
       SELECT doc_id,
              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
