@@ -399,7 +399,8 @@ def fused_chunk_schema(carry_cols: list[str], carry_types: dict[str, str]) -> st
 
 
 def make_fused_chunk_kernel(
-    offsets: dict[int, int], carry_cols: list[str], run_size: int
+    offsets: dict[int, int], carry_cols: list[str], run_size: int,
+    with_positions: bool = False,
 ):
     """mapInArrow kernel fusing tokenize-assign AND run encoding: one
     heavy pass emits docmeta rows (row_kind=0) and the partition's
@@ -411,11 +412,17 @@ def make_fused_chunk_kernel(
     a chunk leaves the tokenizer as (docmeta, compressed postings), not
     as a token table.
 
-    tf path only — positional builds keep the two-stage layout.
+    ``with_positions`` emits positional runs instead (payload genericity,
+    Types.hs:139-158): the kernel keeps the per-occurrence normalized
+    stream + raw token positions (pos_codes_core semantics) and the
+    back-half groups occurrences into postings with one extra
+    position-delta varint stream — the same shared back-half the
+    two-stage positional encoder uses, so the layouts are
+    value-identical by construction.
     """
     import pyarrow as pa
 
-    from simplir_spark.functions.tokenize import tf_codes_core
+    from simplir_spark.functions.tokenize import pos_codes_core, tf_codes_core
 
     n_carry = len(carry_cols)
 
@@ -502,6 +509,25 @@ def make_fused_chunk_kernel(
             uniq = np.asarray(
                 enc.dictionary.to_numpy(zero_copy_only=False), dtype=object
             )
+            if with_positions:
+                # raw position = index within the doc's nonempty raw
+                # token stream (pre-normalization-drop numbering)
+                kept_lens = np.bincount(doc_ix, minlength=n)
+                off_d = np.concatenate(([0], np.cumsum(kept_lens)))[:-1]
+                raw_pos = (np.arange(len(doc_ix)) - off_d[doc_ix]).astype(np.int32)
+                codes_kept, vocab, pos_kept, kept_doc_ix, doc_len, dl_alnum = (
+                    pos_codes_core(inv, uniq, doc_ix, raw_pos, n)
+                )
+                yield doc_batch(n, dids, carries, doc_len, dl_alnum)
+                if len(codes_kept):
+                    vocab_arrow = pa.array(vocab, type=pa.string())
+                    val_parts.append(
+                        pc.take(vocab_arrow, pa.array(codes_kept)).cast(pa.large_string())
+                    )
+                    tf_parts.append(pos_kept.astype(np.int64))
+                    did_parts.append(dids[kept_doc_ix])
+                    dl_parts.append(doc_len.astype(np.int64)[kept_doc_ix])
+                continue
             term_idx, nt_sorted, tf, n_distinct, doc_len, dl_alnum = tf_codes_core(
                 inv, uniq, doc_ix, n
             )
@@ -517,7 +543,7 @@ def make_fused_chunk_kernel(
 
         if not did_parts:
             return
-        for run_cols in _posting_run_batches(
+        for run_cols in (_occurrence_run_batches if with_positions else _posting_run_batches)(
             val_parts, tf_parts, did_parts, dl_parts, run_size
         ):
             m = len(run_cols[0])
@@ -714,6 +740,125 @@ def _posting_run_batches(val_parts, tf_parts, did_parts, dl_parts, run_size):
         i0 = i1
 
 
+def _occurrence_run_batches(val_parts, pos_parts, did_parts, dl_parts, run_size):
+    """Positional back-half: accumulated OCCURRENCE-level arrays -> run
+    column tuples (the 10 POSTINGS_SCHEMA columns, pos blobs real),
+    chunked.  The positional twin of :func:`_posting_run_batches`:
+    occurrences group into postings at (term, did) change after the
+    sort, tf = group size, and the per-occurrence position deltas
+    (first-of-posting absolute, ``codec.encode_positions`` format) are
+    one more whole-partition varint stream whose per-run slices tile
+    like the others.
+
+    ``val_parts``: large_string Arrow arrays of per-OCCURRENCE terms;
+    ``pos_parts``/``did_parts``/``dl_parts``: int64 numpy arrays,
+    aligned per occurrence (raw token position, did, doc_len).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    dict_enc = pc.dictionary_encode(pa.concat_arrays(val_parts))
+    codes = np.asarray(dict_enc.indices)
+    dictionary = dict_enc.dictionary
+    dids = np.concatenate(did_parts)
+    dls = np.concatenate(dl_parts)
+    aux = np.concatenate(pos_parts)
+    n = len(codes)
+
+    if bool(np.all(dids[1:] >= dids[:-1])):
+        # occurrences arrive did-sorted and position-sorted within doc ->
+        # stable argsort keeps within-term (did, pos) order
+        order = np.argsort(codes, kind="stable")
+    else:
+        order = np.lexsort((aux, dids, codes))
+    codes_s = codes[order]
+    dids_s = dids[order]
+    aux_s = aux[order]
+    dls_s = dls[order]
+    del codes, dids, aux, dls, order
+
+    # occurrences -> postings: boundary at (term, did) change
+    pchange = (
+        np.nonzero((codes_s[1:] != codes_s[:-1]) | (dids_s[1:] != dids_s[:-1]))[0] + 1
+    )
+    p_start = np.concatenate(([0], pchange))
+    n_post = len(p_start)
+    tfs_p = np.diff(np.concatenate((p_start, [n])))
+    codes_p = codes_s[p_start]
+    dids_p = dids_s[p_start]
+    dls_p = dls_s[p_start]
+    # per-occurrence position deltas, first-of-posting absolute
+    # (np.diff(p, prepend=0) semantics of codec.encode_positions)
+    pos_deltas = np.empty(n, dtype=np.int64)
+    pos_deltas[1:] = aux_s[1:] - aux_s[:-1]
+    pos_deltas[p_start] = aux_s[p_start]
+    p_stream, p_lens = codec.encode_varints_with_lens(pos_deltas)
+    occ_cum = np.concatenate(([0], np.cumsum(p_lens)))
+    # byte offset of each POSTING's position block (postings tile the
+    # occurrence stream, so run slices tile the byte stream)
+    p_off = occ_cum[np.concatenate((p_start, [n]))]
+    del codes_s, dids_s, aux_s, dls_s
+
+    change = np.nonzero(codes_p[1:] != codes_p[:-1])[0] + 1
+    g_start = np.concatenate(([0], change))
+    g_end = np.concatenate((change, [n_post]))
+    runs_per_group = -(-(g_end - g_start) // run_size)
+    total_runs = int(runs_per_group.sum())
+    gidx = np.repeat(np.arange(len(g_start)), runs_per_group)
+    first_run_of_group = np.concatenate(([0], np.cumsum(runs_per_group)))[:-1]
+    within = np.arange(total_runs) - first_run_of_group[gidx]
+    run_starts = g_start[gidx] + within * run_size
+    run_ends = np.minimum(run_starts + run_size, g_end[gidx])
+
+    deltas = np.empty(n_post, dtype=np.int64)
+    deltas[1:] = dids_p[1:] - dids_p[:-1]
+    deltas[run_starts] = 0
+
+    d_stream, d_lens = codec.encode_varints_with_lens(deltas)
+    t_stream, t_lens = codec.encode_varints_with_lens(tfs_p)
+    l_stream, l_lens = codec.encode_varints_with_lens(dls_p)
+    d_off = np.concatenate(([0], np.cumsum(d_lens)))
+    t_off = np.concatenate(([0], np.cumsum(t_lens)))
+    l_off = np.concatenate(([0], np.cumsum(l_lens)))
+
+    run_n = (run_ends - run_starts).astype(np.int32)
+    max_tf = np.maximum.reduceat(tfs_p, run_starts)
+    sum_tf = np.add.reduceat(tfs_p, run_starts)
+    start_did = dids_p[run_starts]
+    end_did = dids_p[run_ends - 1]
+    run_codes = codes_p[run_starts]
+
+    def binary_col(stream, off, i0, i1):
+        bounds = np.concatenate((run_starts[i0:i1], [run_ends[i1 - 1]]))
+        byte_bounds = off[bounds]
+        base = byte_bounds[0]
+        offs32 = (byte_bounds - base).astype(np.int32)
+        data = stream[base : byte_bounds[-1]]
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), i1 - i0, [None, pa.py_buffer(offs32), pa.py_buffer(data)]
+        )
+
+    i0 = 0
+    while i0 < total_runs:
+        i1 = min(i0 + _ARROW_CHUNK_RUNS, total_runs)
+        for off in (d_off, t_off, l_off, p_off):
+            while i1 > i0 + 1 and off[run_ends[i1 - 1]] - off[run_starts[i0]] > _ARROW_CHUNK_BYTES:
+                i1 = i0 + max(1, (i1 - i0) // 2)
+        yield (
+            pc.take(dictionary, pa.array(run_codes[i0:i1])).cast(pa.string()),
+            pa.array(start_did[i0:i1], pa.int64()),
+            pa.array(end_did[i0:i1], pa.int64()),
+            pa.array(run_n[i0:i1], pa.int32()),
+            pa.array(max_tf[i0:i1], pa.int64()),
+            pa.array(sum_tf[i0:i1], pa.int64()),
+            binary_col(d_stream, d_off, i0, i1),
+            binary_col(t_stream, t_off, i0, i1),
+            binary_col(l_stream, l_off, i0, i1),
+            binary_col(p_stream, p_off, i0, i1),
+        )
+        i0 = i1
+
+
 def make_partition_run_encoder_arrow(run_size: int, with_positions: bool = False):
     """mapInArrow kernel: one tokenized PARTITION -> encoded posting runs.
 
@@ -776,136 +921,14 @@ def make_partition_run_encoder_arrow(run_size: int, with_positions: bool = False
             dl_parts.append(np.repeat(dls_b.astype(np.int64), lens))
         if not did_parts:
             return
-        dict_enc = pc.dictionary_encode(pa.concat_arrays(val_parts))
-        del val_parts
-        codes = np.asarray(dict_enc.indices)  # no nulls -> zero-copy int32
-        dictionary = dict_enc.dictionary
-        dids = np.concatenate(did_parts)
-        dls = np.concatenate(dl_parts)
-        aux = np.concatenate(aux_parts)
-        del did_parts, dl_parts, aux_parts
-        n = len(codes)
-
-        if bool(np.all(dids[1:] >= dids[:-1])):
-            # entries arrive did-sorted (and position-sorted within doc)
-            # -> stable argsort keeps within-term (did, pos) order;
-            # integer stable sort in numpy is radix, O(n)
-            order = np.argsort(codes, kind="stable")
-        elif with_positions:
-            order = np.lexsort((aux, dids, codes))
-        else:
-            order = np.lexsort((dids, codes))
-        codes_s = codes[order]
-        dids_s = dids[order]
-        aux_s = aux[order]
-        dls_s = dls[order]
-        del codes, dids, aux, dls, order
-
-        if with_positions:
-            # occurrences -> postings: boundary at (term, did) change
-            pchange = (
-                np.nonzero(
-                    (codes_s[1:] != codes_s[:-1]) | (dids_s[1:] != dids_s[:-1])
-                )[0]
-                + 1
-            )
-            p_start = np.concatenate(([0], pchange))
-            n_post = len(p_start)
-            tfs_p = np.diff(np.concatenate((p_start, [n])))
-            codes_p = codes_s[p_start]
-            dids_p = dids_s[p_start]
-            dls_p = dls_s[p_start]
-            # per-occurrence position deltas, first-of-posting absolute
-            # (np.diff(p, prepend=0) semantics of codec.encode_positions)
-            pos_deltas = np.empty(n, dtype=np.int64)
-            pos_deltas[1:] = aux_s[1:] - aux_s[:-1]
-            pos_deltas[p_start] = aux_s[p_start]
-            p_stream, p_lens = codec.encode_varints_with_lens(pos_deltas)
-            occ_cum = np.concatenate(([0], np.cumsum(p_lens)))
-            # byte offset of each POSTING's position block (postings tile
-            # the occurrence stream, so run slices tile the byte stream)
-            p_off = occ_cum[np.concatenate((p_start, [n]))]
-        else:
-            n_post = n
-            tfs_p = aux_s
-            codes_p = codes_s
-            dids_p = dids_s
-            dls_p = dls_s
-            p_stream = p_off = None
-        del codes_s, dids_s, aux_s, dls_s
-
-        change = np.nonzero(codes_p[1:] != codes_p[:-1])[0] + 1
-        g_start = np.concatenate(([0], change))
-        g_end = np.concatenate((change, [n_post]))
-        runs_per_group = -(-(g_end - g_start) // run_size)
-        total_runs = int(runs_per_group.sum())
-        gidx = np.repeat(np.arange(len(g_start)), runs_per_group)
-        first_run_of_group = np.concatenate(([0], np.cumsum(runs_per_group)))[:-1]
-        within = np.arange(total_runs) - first_run_of_group[gidx]
-        run_starts = g_start[gidx] + within * run_size
-        run_ends = np.minimum(run_starts + run_size, g_end[gidx])
-
-        deltas = np.empty(n_post, dtype=np.int64)
-        deltas[1:] = dids_p[1:] - dids_p[:-1]
-        deltas[run_starts] = 0  # each run's deltas are from ITS start
-
-        d_stream, d_lens = codec.encode_varints_with_lens(deltas)
-        t_stream, t_lens = codec.encode_varints_with_lens(tfs_p)
-        l_stream, l_lens = codec.encode_varints_with_lens(dls_p)
-        # cumulative byte offset of each run's blob in each stream; runs
-        # tile the posting array, so offsets at run boundaries tile the
-        # streams (boundary i+1's start == boundary i's end)
-        d_off = np.concatenate(([0], np.cumsum(d_lens)))
-        t_off = np.concatenate(([0], np.cumsum(t_lens)))
-        l_off = np.concatenate(([0], np.cumsum(l_lens)))
-
-        run_n = (run_ends - run_starts).astype(np.int32)
-        max_tf = np.maximum.reduceat(tfs_p, run_starts)
-        sum_tf = np.add.reduceat(tfs_p, run_starts)
-        start_did = dids_p[run_starts]
-        end_did = dids_p[run_ends - 1]
-        run_codes = codes_p[run_starts]
-
-        def binary_col(stream: np.ndarray, off: np.ndarray, i0: int, i1: int):
-            bounds = np.concatenate((run_starts[i0:i1], [run_ends[i1 - 1]]))
-            byte_bounds = off[bounds]
-            base = byte_bounds[0]
-            offs32 = (byte_bounds - base).astype(np.int32)
-            data = stream[base : byte_bounds[-1]]
-            return pa.BinaryArray.from_buffers(
-                pa.binary(), i1 - i0, [None, pa.py_buffer(offs32), pa.py_buffer(data)]
-            )
-
-        all_offs = [d_off, t_off, l_off] + ([p_off] if with_positions else [])
-        i0 = 0
-        while i0 < total_runs:
-            i1 = min(i0 + _ARROW_CHUNK_RUNS, total_runs)
-            # shrink the chunk if any blob column would exceed the cap
-            for off in all_offs:
-                while i1 > i0 + 1 and off[run_ends[i1 - 1]] - off[run_starts[i0]] > _ARROW_CHUNK_BYTES:
-                    i1 = i0 + max(1, (i1 - i0) // 2)
-            terms_out = pc.take(dictionary, pa.array(run_codes[i0:i1])).cast(pa.string())
-            pos_col = (
-                binary_col(p_stream, p_off, i0, i1)
-                if with_positions
-                else pa.nulls(i1 - i0, pa.binary())
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    terms_out,
-                    pa.array(start_did[i0:i1], pa.int64()),
-                    pa.array(end_did[i0:i1], pa.int64()),
-                    pa.array(run_n[i0:i1], pa.int32()),
-                    pa.array(max_tf[i0:i1], pa.int64()),
-                    pa.array(sum_tf[i0:i1], pa.int64()),
-                    binary_col(d_stream, d_off, i0, i1),
-                    binary_col(t_stream, t_off, i0, i1),
-                    binary_col(l_stream, l_off, i0, i1),
-                    pos_col,
-                ],
-                names=_RUN_COLS,
-            )
-            i0 = i1
+        # shared back-halves (also used by the fused build) — one code
+        # path per payload, so fused and two-stage outputs are
+        # value-identical by construction
+        back = (_occurrence_run_batches if with_positions else _posting_run_batches)(
+            val_parts, aux_parts, did_parts, dl_parts, run_size
+        )
+        for run_cols in back:
+            yield pa.RecordBatch.from_arrays(list(run_cols), names=_RUN_COLS)
 
     return encode
 
@@ -997,6 +1020,7 @@ def _build_index_fused(
     n_partitions: int,
     run_size: int,
     n_docs_known: int | None,
+    with_positions: bool = False,
 ) -> IndexPaths:
     """Fused stage graph: chunks (docmeta + runs in one heavy pass) ->
     docmeta / postings (both slim rewrites of chunks) -> stats."""
@@ -1027,7 +1051,7 @@ def _build_index_fused(
             .drop("content")
         )
         return heavy.mapInArrow(
-            make_fused_chunk_kernel(offsets, carry, run_size), schema
+            make_fused_chunk_kernel(offsets, carry, run_size, with_positions), schema
         )
 
     os.makedirs(out_dir, exist_ok=True)
@@ -1118,13 +1142,13 @@ def build_index(
     positional payload (per-posting occurrence positions) — DiskIndex's
     payload genericity (Types.hs:139-158).
 
-    ``fused`` (tf path only; THE DEFAULT there) runs tokenize AND run
+    ``fused`` (THE DEFAULT, both payloads) runs tokenize AND run
     encoding in ONE heavy stage whose output holds docmeta rows +
-    encoded runs side by side — the per-doc terms/tfs lists (the largest
-    intermediate, roughly the text volume again) are never written or
-    re-read.  Pass ``fused=False`` for the two-stage layout with its
-    finer resume granularity (a wiped postings dir rebuilds without
-    re-tokenizing); positional builds always use it.
+    encoded runs side by side — the per-doc terms/tfs (or occurrence/
+    positions) lists, the build's largest intermediate at roughly the
+    text volume again, are never written or re-read.  Pass
+    ``fused=False`` for the two-stage layout with its finer resume
+    granularity (a wiped postings dir rebuilds without re-tokenizing).
 
     When ``n_partitions`` is not given it SCALES WITH THE CORPUS:
     ceil(n_docs / docs_per_bucket) buckets (floor: shuffle partitions,
@@ -1133,9 +1157,7 @@ def build_index(
     fixed 64000-doc chunks.
     """
     if fused is None:
-        fused = not with_positions
-    elif fused and with_positions:
-        raise ValueError("fused build supports the tf payload only")
+        fused = True
     n_docs_known: int | None = None
     if n_partitions is None:
         shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -1155,7 +1177,8 @@ def build_index(
     )
     if fused:
         return _build_index_fused(
-            spark, corpus, paths, runner, n_partitions, run_size, n_docs_known
+            spark, corpus, paths, runner, n_partitions, run_size, n_docs_known,
+            with_positions,
         )
 
     def build_docmeta() -> DataFrame:
