@@ -50,31 +50,15 @@ def _l2_normalize(w: list[float]) -> list[float] | None:
     return [x / nrm for x in w]
 
 
-def _eval_candidates(
-    features: DataFrame,
-    qrels: DataFrame,
-    candidates: dict[int, list[float]],
-    eval_cutoff: int | None = None,
+def _map_by_candidate(
+    scored: DataFrame, qrels: DataFrame, eval_cutoff: int | None = None
 ) -> dict[int, float]:
-    """MAP per candidate weight vector, all candidates in one job.
+    """MAP per cand_id from (cand_id, qid, doc, score) rows.
 
     ``eval_cutoff`` truncates each ranking at k during evaluation
     (EvalCutoffAt, LearningToRank.hs:223-226)."""
-    spark = features.sparkSession
-    cand_rows = [(cid, [float(x) for x in w]) for cid, w in candidates.items()]
-    cand = spark.createDataFrame(cand_rows, "cand_id int, w array<double>")
-
     rel = qrels.filter(F.col("relevance") > 0).select("qid", "doc", F.lit(1).alias("_rel"))
     totals = rel.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
-
-    scored = features.crossJoin(F.broadcast(cand)).select(
-        "cand_id", "qid", "doc",
-        F.aggregate(
-            F.zip_with("features", "w", lambda f, w: f * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("score"),
-    )
     w_rank = Window.partitionBy("cand_id", "qid").orderBy(F.desc("score"), F.col("doc"))
     ranked = scored.withColumn("rank", F.row_number().over(w_rank))
     if eval_cutoff is not None:
@@ -93,6 +77,83 @@ def _eval_candidates(
     )
     rows = ap.groupBy("cand_id").agg(F.avg("ap").alias("map")).collect()
     return {int(r["cand_id"]): float(r["map"]) for r in rows}
+
+
+def _eval_candidates(
+    features: DataFrame,
+    qrels: DataFrame,
+    candidates: dict[int, list[float]],
+    eval_cutoff: int | None = None,
+) -> dict[int, float]:
+    """MAP per ARBITRARY candidate weight vector, all in one job (full
+    w·f dot product per candidate — the general path)."""
+    spark = features.sparkSession
+    cand_rows = [(cid, [float(x) for x in w]) for cid, w in candidates.items()]
+    cand = spark.createDataFrame(cand_rows, "cand_id int, w array<double>")
+    scored = features.crossJoin(F.broadcast(cand)).select(
+        "cand_id", "qid", "doc",
+        F.aggregate(
+            F.zip_with("features", "w", lambda f, w: f * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return _map_by_candidate(scored, qrels, eval_cutoff)
+
+
+def _eval_coordinate_steps(
+    features: DataFrame,
+    qrels: DataFrame,
+    w: list[float],
+    j: int,
+    steps: list[float],
+    eval_cutoff: int | None = None,
+) -> tuple[dict[int, list[float]], dict[int, float]]:
+    """All candidate steps of ONE coordinate in one job, O(docs) work per
+    candidate — the reference's step-oracle cache (coordAscent computes
+    score' = cachedRest + w_j'·f_j instead of re-folding every feature,
+    LearningToRank.hs:157-316): the partial score excluding coordinate j
+    is computed ONCE per row, and each candidate adds its scalar
+    w_j'·f_j.  Rankings are scale-invariant, so the candidate's L2
+    normalization (l2NormalizeWeightVec) applies to the RETURNED weight
+    vector only, never to the evaluated scores — identical ranks, MAP
+    unchanged.
+
+    Returns (normalized candidate vectors by step index, MAP by step
+    index).
+    """
+    spark = features.sparkSession
+    cands: dict[int, list[float]] = {}
+    rows = []
+    for si, s in enumerate(steps):
+        cw = list(w)
+        cw[j] = w[j] + s
+        norm = _l2_normalize(cw)
+        if norm is not None:
+            cands[si] = norm
+            rows.append((si, float(w[j] + s)))
+    if not cands:
+        return {}, {}
+    cand = spark.createDataFrame(rows, "cand_id int, wj double")
+    w_arr = F.array([F.lit(float(x)) for x in w])
+    fj = F.element_at("features", j + 1)
+    base = features.select(
+        "qid", "doc",
+        fj.alias("_fj"),
+        (
+            F.aggregate(
+                F.zip_with("features", w_arr, lambda f, wv: f * wv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - F.lit(float(w[j])) * fj
+        ).alias("_rest"),
+    )
+    scored = base.crossJoin(F.broadcast(cand)).select(
+        "cand_id", "qid", "doc",
+        (F.col("_rest") + F.col("wj") * F.col("_fj")).alias("score"),
+    )
+    return cands, _map_by_candidate(scored, qrels, eval_cutoff)
 
 
 def coordinate_ascent(
@@ -123,16 +184,11 @@ def coordinate_ascent(
     for _ in range(n_iters):
         improved = False
         for j in range(n_features):
-            cands: dict[int, list[float]] = {}
-            for si, s in enumerate(steps):
-                cw = list(w)
-                cw[j] = w[j] + s
-                cw = _l2_normalize(cw)
-                if cw is not None:
-                    cands[si] = cw
+            cands, scores = _eval_coordinate_steps(
+                features, qrels, w, j, steps, eval_cutoff
+            )
             if not cands:
                 continue
-            scores = _eval_candidates(features, qrels, cands, eval_cutoff)
             si_best = max(sorted(scores), key=lambda k: scores[k])
             if scores[si_best] > best_map + 1e-12:
                 w = cands[si_best]

@@ -54,6 +54,7 @@ def score_query_runs(
     decode_counter: list | None = None,
     did_lo: int | None = None,
     did_hi: int | None = None,
+    theta0: float = float("-inf"),
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one query's posting runs; returns (top dids, top scores).
 
@@ -62,6 +63,17 @@ def score_query_runs(
     [decoded_runs, total_runs].  ``did_lo``/``did_hi`` restrict scoring to
     dids in [lo, hi) — the shard contract: every run overlapping the range
     must be present, postings outside it are dropped after decode.
+
+    ``theta0`` is an EXTERNAL score floor — any valid lower bound on the
+    final global k-th score (e.g. the k-th score of another shard).  It
+    deepens block-max pruning without affecting the global result:
+    pruning is strict (a skipped doc's upper bound <= theta, and actual
+    scores are strictly below their upper bounds), so every dropped doc
+    is strictly below theta0 and could never enter the global top-k.
+    The reference's streaming top-k maintains ONE threshold across the
+    whole corpus (TopK.hs:36-70); theta0 is the distributed analog —
+    shards prune against the best global bound known at launch instead
+    of only their local accumulation.
     """
     if len(runs) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
@@ -101,15 +113,19 @@ def score_query_runs(
     seen_count = 0
     for t in order:
         rest = rest_after[t]
-        if dense is not None and seen_count >= k:
-            # candidates only matter once pruning can engage (theta > -inf)
+        if dense is not None and (seen_count >= k or theta0 > -np.inf):
+            # candidates only matter once pruning can engage (theta >
+            # -inf) — which an external theta0 makes true from the first
+            # term, so the live set MUST be refreshed then too: a doc
+            # already accumulated in dense stays live (partial + rest may
+            # beat theta) and skipping its runs would under-score it
             ix = np.nonzero(seen)[0]
             cand_dids = ix + did_lo
             cand_scores = dense[ix]
         if len(cand_scores) >= k:
-            theta = np.partition(cand_scores, -k)[-k]
+            theta = max(float(np.partition(cand_scores, -k)[-k]), theta0)
         else:
-            theta = -np.inf
+            theta = theta0
         trun = runs[terms == t].sort_values("start_did")
         idf = idf_by_term[t]
 
@@ -356,6 +372,7 @@ def bm25_indexed(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     n_shards: int | None = None,
+    seed_threshold: bool = True,
 ) -> DataFrame:
     """All queries against the index in one job.
 
@@ -370,6 +387,19 @@ def bm25_indexed(
     in exactly one shard, so per-shard top-k then a global window rank is
     exact (the distributed form of collectPostings' doc-at-a-time union,
     Posting2/Collect.hs:53-82).
+
+    ``seed_threshold`` (default on, engages at n_shards > 1): the
+    reference's streaming top-k maintains ONE threshold over the whole
+    corpus (TopK.hs:36-70), whereas independent shards each start from
+    theta = -inf and late shards decode runs a global threshold would
+    skip.  A cheap SEED PASS first scores each query's densest shard
+    (most matched postings — a metadata-only aggregation picks it); its
+    k-th score is a valid lower bound on the global k-th score and is
+    handed to every shard of the main pass as the pruning floor
+    (``score_query_runs(theta0=...)``).  Exactness is preserved — docs
+    pruned under theta0 are strictly below it, and the global k-th is >=
+    theta0.  Cost: one shard per query is scored twice (~1/n_shards extra
+    work) buying first-term pruning everywhere else.
     """
     qdf = queries_df(spark, queries)
     doc_count, avg_doc_len = index.doc_count, index.avg_doc_len
@@ -402,19 +432,47 @@ def bm25_indexed(
         )
     )
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = pdf["query_id"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        dids, scores = score_query_runs(
-            pdf, doc_count, avg_doc_len, k, k1, b,
-            did_lo=shard * span, did_hi=(shard + 1) * span,
-        )
-        return pd.DataFrame({"query_id": qid, "did": dids, "score": scores})
+    def make_score_group(theta0_map: dict):
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = pdf["query_id"].iloc[0]
+            shard = int(pdf["shard"].iloc[0])
+            dids, scores = score_query_runs(
+                pdf, doc_count, avg_doc_len, k, k1, b,
+                did_lo=shard * span, did_hi=(shard + 1) * span,
+                theta0=theta0_map.get(qid, float("-inf")),
+            )
+            return pd.DataFrame({"query_id": qid, "did": dids, "score": scores})
+
+        return score_group
 
     from pyspark.sql import Window
 
+    group_schema = "query_id string, did long, score double"
+    theta0_by_query: dict[str, float] = {}
+    if seed_threshold and n_shards > 1:
+        # metadata-only densest-shard pick: no blob columns execute
+        mass = matched.groupBy("query_id", "shard").agg(F.sum("n").alias("_mass"))
+        w0 = Window.partitionBy("query_id").orderBy(F.desc("_mass"), F.asc("shard"))
+        seed_sel = (
+            mass.withColumn("_r", F.row_number().over(w0))
+            .filter(F.col("_r") == 1)
+            .select("query_id", "shard")
+        )
+        seed_local = (
+            matched.join(F.broadcast(seed_sel), ["query_id", "shard"])
+            .groupBy("query_id", "shard")
+            .applyInPandas(make_score_group({}), group_schema)
+        )
+        for r in (
+            seed_local.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("c"), F.min("score").alias("mn"))
+            .collect()
+        ):
+            if int(r["c"]) >= k:
+                theta0_by_query[r["query_id"]] = float(r["mn"])
+
     local_topk = matched.groupBy("query_id", "shard").applyInPandas(
-        score_group, "query_id string, did long, score double"
+        make_score_group(theta0_by_query), group_schema
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("did"))
     topk = (

@@ -68,3 +68,70 @@ def test_merge_rankings_filters_nonfinite_and_reranks(spark):
     assert [(r.doc, r.rank) for r in m1] == [("d", 1), ("a", 2)]  # nan/inf dropped
     m2 = [r for r in out if r.method == "m2"]
     assert len(m2) == 1 and m2[0].rank == 1
+
+
+def test_map_differential_vs_naive_avgprec(spark):
+    """Differential test on randomized assessed rankings — the analog of
+    the reference's trec_eval cross-check (VersusTrecEval.hs:65-110): the
+    Spark windows-and-joins AP must equal an independent, literal
+    transcription of naiveAvgPrec (Evaluation.hs:39-68) on every query.
+
+    Covers: relevant docs never retrieved (R_q from qrels, not the run),
+    queries with zero relevant docs (excluded from MAP — trec_eval
+    convention; N.B. the reference's meanAvgPrec instead counts them as
+    0, Evaluation.hs:30-34), runs of different lengths, all-relevant and
+    no-relevant-retrieved runs.
+    """
+    import numpy as np
+
+    from simplir_spark.operators.evaluation import (
+        average_precision,
+        mean_average_precision,
+    )
+
+    rng = np.random.RandomState(1234)
+    run_rows, qrel_rows = [], []
+    naive = {}
+    n_rel_by_q = {}
+    for qi in range(50):
+        qid = f"q{qi:03d}"
+        n_ranked = int(rng.randint(1, 40))
+        pool = [f"d{j}" for j in range(60)]
+        ranked = list(rng.choice(pool, size=n_ranked, replace=False))
+        # relevance over the whole pool: some relevant docs are never
+        # retrieved; a few queries get no relevant docs at all
+        p_rel = float(rng.choice([0.0, 0.1, 0.3, 0.9]))
+        rel_docs = {d for d in pool if rng.rand() < p_rel}
+        for r, d in enumerate(ranked, start=1):
+            run_rows.append((qid, d, r))
+        for d in pool:
+            # qrels carry explicit 0s too (assessed non-relevant)
+            qrel_rows.append((qid, d, 1 if d in rel_docs else 0))
+
+        # literal naiveAvgPrec: walk the ranking, accumulate rel count,
+        # sum prec at relevant ranks, divide by TOTAL relevant
+        total_rel = len(rel_docs)
+        n_rel_by_q[qid] = total_rel
+        if total_rel == 0:
+            continue
+        acc, s = 0, 0.0
+        for r, d in enumerate(ranked, start=1):
+            if d in rel_docs:
+                acc += 1
+                s += acc / r
+        naive[qid] = s / total_rel
+
+    run = spark.createDataFrame(run_rows, "qid string, doc string, rank int")
+    qrels = spark.createDataFrame(qrel_rows, "qid string, doc string, relevance int")
+    got = {r["qid"]: (r["ap"], r["n_rel"]) for r in average_precision(run, qrels).collect()}
+
+    assert set(got) == set(naive), "queries with zero relevant docs must be absent"
+    for qid, ap in naive.items():
+        g_ap, g_nrel = got[qid]
+        assert g_nrel == n_rel_by_q[qid], qid
+        assert abs(g_ap - ap) < 1e-12, (qid, g_ap, ap)
+
+    m = mean_average_precision(run, qrels).collect()[0]
+    want_map = sum(naive.values()) / len(naive)
+    assert m["n_queries"] == len(naive)
+    assert abs(m["map"] - want_map) < 1e-12

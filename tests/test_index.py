@@ -614,3 +614,74 @@ def test_bucket_expr_binary_search_matches_linear(spark):
     ).collect()
     for r in got:
         assert r["bs"] == r["lin"], r
+
+
+def test_theta0_seed_deepens_pruning_and_preserves_topk():
+    """Unit-level: an external score floor (the cross-shard seed, TopK.hs
+    single-threshold analog) must decode strictly fewer runs while
+    returning exactly the docs at-or-above the floor, in order."""
+    rng = np.random.RandomState(11)
+    n_docs, run_size = 5000, 128
+    rows = []
+    for term, df_sel, tf_hi in [("common", np.arange(n_docs), 3), ("rare", np.arange(0, 200, 10), 50)]:
+        dids = np.asarray(df_sel, dtype=np.int64)
+        tfs = rng.randint(1, tf_hi + 1, size=len(dids)).astype(np.int64)
+        dls = np.full(len(dids), 100, dtype=np.int64)
+        for s in range(0, len(dids), run_size):
+            e = min(s + run_size, len(dids))
+            run = codec.encode_run(dids[s:e], tfs[s:e], dls[s:e])
+            rows.append({"term": term, "df": len(dids), **run})
+    runs = pd.DataFrame(rows)
+
+    base_cnt = [0, 0]
+    d0, s0 = score_query_runs(
+        runs, n_docs, 100.0, 10, decode_counter=base_cnt, did_lo=0, did_hi=n_docs
+    )
+    # contract 1: a floor at our own 5th score — every returned doc
+    # at-or-above the floor matches the unseeded run, never more decodes
+    theta0 = float(s0[4])
+    seed_cnt = [0, 0]
+    d1, s1 = score_query_runs(
+        runs, n_docs, 100.0, 10, decode_counter=seed_cnt,
+        did_lo=0, did_hi=n_docs, theta0=theta0,
+    )
+    keep = s0 >= theta0
+    assert d1[: keep.sum()].tolist() == d0[keep].tolist()
+    np.testing.assert_allclose(s1[: keep.sum()], s0[keep], rtol=1e-12)
+    assert seed_cnt[0] <= base_cnt[0], (seed_cnt, base_cnt)
+
+    # contract 2: a floor above every reachable upper bound (a denser
+    # shard already holds k far better docs) must skip ALL runs — the
+    # whole point of cross-shard seeding: late shards decode nothing
+    high_cnt = [0, 0]
+    d2, s2 = score_query_runs(
+        runs, n_docs, 100.0, 10, decode_counter=high_cnt,
+        did_lo=0, did_hi=n_docs, theta0=float(s0[0]) * 2.0 + 1.0,
+    )
+    assert high_cnt[0] == 0, high_cnt
+    assert len(d2) == 0
+
+
+def test_bm25_indexed_seeded_equals_unseeded(spark, index_dir, oracle_idx):
+    """End-to-end: the seeded cross-shard threshold pass must be
+    result-invisible — identical (rank, doc_key, score) with and without
+    seeding, at several shard counts, and rank-identical to the oracle."""
+    idx = open_index(spark, index_dir)
+    for n_shards in (2, 5):
+        a = sorted(
+            (r.query_id, r.rank, r.doc_key, round(r.score, 12))
+            for r in bm25_indexed(spark, idx, QUERIES, k=K, n_shards=n_shards).collect()
+        )
+        b = sorted(
+            (r.query_id, r.rank, r.doc_key, round(r.score, 12))
+            for r in bm25_indexed(
+                spark, idx, QUERIES, k=K, n_shards=n_shards, seed_threshold=False
+            ).collect()
+        )
+        assert a == b, n_shards
+    by_q: dict[str, list] = {}
+    for qid, rank, key, _ in a:
+        by_q.setdefault(qid, []).append((rank, key))
+    for qid, terms in QUERIES:
+        want = [(rk, ky) for rk, ky, _ in bm25_topk(oracle_idx, terms, K)]
+        assert sorted(by_q.get(qid, [])) == want, qid
