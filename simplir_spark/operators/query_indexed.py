@@ -372,7 +372,7 @@ def bm25_indexed(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     n_shards: int | None = None,
-    seed_threshold: bool = True,
+    seed_threshold: bool | None = None,
 ) -> DataFrame:
     """All queries against the index in one job.
 
@@ -388,7 +388,7 @@ def bm25_indexed(
     exact (the distributed form of collectPostings' doc-at-a-time union,
     Posting2/Collect.hs:53-82).
 
-    ``seed_threshold`` (default on, engages at n_shards > 1): the
+    ``seed_threshold`` (None = auto: on from 8 shards up): the
     reference's streaming top-k maintains ONE threshold over the whole
     corpus (TopK.hs:36-70), whereas independent shards each start from
     theta = -inf and late shards decode runs a global threshold would
@@ -449,6 +449,8 @@ def bm25_indexed(
 
     group_schema = "query_id string, did long, score double"
     theta0_by_query: dict[str, float] = {}
+    if seed_threshold is None:
+        seed_threshold = n_shards >= 8
     if seed_threshold and n_shards > 1:
         # metadata-only densest-shard pick: no blob columns execute
         mass = matched.groupBy("query_id", "shard").agg(F.sum("n").alias("_mass"))

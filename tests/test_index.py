@@ -670,7 +670,9 @@ def test_bm25_indexed_seeded_equals_unseeded(spark, index_dir, oracle_idx):
     for n_shards in (2, 5):
         a = sorted(
             (r.query_id, r.rank, r.doc_key, round(r.score, 12))
-            for r in bm25_indexed(spark, idx, QUERIES, k=K, n_shards=n_shards).collect()
+            for r in bm25_indexed(
+                spark, idx, QUERIES, k=K, n_shards=n_shards, seed_threshold=True
+            ).collect()
         )
         b = sorted(
             (r.query_id, r.rank, r.doc_key, round(r.score, 12))
