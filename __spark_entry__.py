@@ -986,13 +986,20 @@ def oracle_sql() -> dict[str, str]:
     WHERE round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) >= 0.5
     """
 
+    from simplir_spark.operators.dedup import minhash_coeffs
+
+    mh_coef_vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(16)))
     sql["minhash_lsh"] = f"""
     WITH {shingle_cte},
+    coef(h, a, b) AS (VALUES {mh_coef_vals}),
+    hsplit AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0
+      FROM sh
+    ),
     mh AS (
-      SELECT doc_id, g.h,
-             min(('0x' || substr(md5(CAST(g.h AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS minhash
-      FROM sh, unnest(generate_series(0, 15)) AS g(h)
-      GROUP BY doc_id, g.h
+      SELECT doc_id, c.h, min((c.a * h0 + c.b) % 2147483647) AS minhash
+      FROM hsplit, coef c
+      GROUP BY doc_id, c.h
     ),
     buckets AS (
       SELECT doc_id, h % 4 AS band,

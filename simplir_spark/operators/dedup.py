@@ -99,17 +99,58 @@ def ngram_jaccard_pairs(
     )
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Per-slot Carter-Wegman coefficients (a_i, b_i), md5-derived so the
+    DuckDB oracle rebuilds the identical table.  a_i in [1, p-1], b_i in
+    [0, p-1] with p = 2^31 - 1."""
+    import hashlib
+
+    out = []
+    for i in range(n_hashes):
+        d = hashlib.md5(f"minhash:{i}".encode()).digest()
+        a = (int.from_bytes(d[:8], "big") % (_MERSENNE31 - 1)) + 1
+        b = int.from_bytes(d[8:], "big") % _MERSENNE31
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, h, minhash): k salted-md5 min-hashes per doc.
+    """(id, h, minhash): k min-hashes per doc via the standard universal-
+    hash family h_i(x) = (a_i*x + b_i) mod (2^31 - 1) over ONE 32-bit
+    md5-prefix base hash per shingle — k-fold fewer digests than salting
+    the shingle per slot (the digest is the dominant cost of the
+    signature pass at corpus scale), and the per-slot (a_i, b_i)
+    coefficients keep slots pairwise-independent (a naive h1 + i*h2 form
+    correlates high-i slots onto the min-h2 shingle and collapses LSH
+    recall).  Operand bounds: a < 2^31, x < 2^32 -> a*x + b < 2^63,
+    no signed-64 overflow; the DuckDB twin reproduces the arithmetic
+    exactly.
 
     One groupBy(id, h) over shingles x k rows; the per-hash min is a
     partial aggregate (map-side combine).
     """
+    coeffs = minhash_coeffs(n_hashes)
+    a_arr = F.array([F.lit(a) for a, _ in coeffs])
+    b_arr = F.array([F.lit(b) for _, b in coeffs])
+    base = shingles.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("_h0"),
+    )
     hs = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
-    salted = shingles.select(F.col(id_col), hs, "shingle").withColumn(
-        "hv", _md5_60(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle")))
+    salted = base.select(F.col(id_col), hs, "_h0").withColumn(
+        "hv",
+        (
+            F.element_at(a_arr, F.col("h") + 1) * F.col("_h0")
+            + F.element_at(b_arr, F.col("h") + 1)
+        )
+        % F.lit(_MERSENNE31),
     )
     return salted.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
 

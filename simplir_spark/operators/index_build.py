@@ -1062,6 +1062,15 @@ def _build_index_fused(
         if c not in {"row_kind"} | set(_RUN_COLS)
     ]
 
+    # One chunks file == one read task for the slim rewrites below (same
+    # rationale as the two-stage path): small-file packing (openCostInBytes
+    # default 4 MB) would merge several compressed chunk files into one
+    # read task and starve the decode side of parallelism — measured as a
+    # postings-stage wall FLAT across 4 vs 16 cores until scoped here.
+    _OPEN_COST = "spark.sql.files.openCostInBytes"
+    _prev_open_cost = spark.conf.get(_OPEN_COST)
+    spark.conf.set(_OPEN_COST, str(128 * 1024 * 1024))
+
     r_doc = runner.run_df_stage(
         "docmeta",
         # row_kind min/max prunes the pure row groups; the heavy blob
@@ -1099,12 +1108,15 @@ def _build_index_fused(
             .drop("_b", "_xb")
         )
 
-    r_post = runner.run_df_stage(
-        "postings",
-        build_postings_from_chunks,
-        upstream=["chunks"],
-        sort_within_partitions=["term", "start_did"],
-    )
+    try:
+        r_post = runner.run_df_stage(
+            "postings",
+            build_postings_from_chunks,
+            upstream=["chunks"],
+            sort_within_partitions=["term", "start_did"],
+        )
+    finally:
+        spark.conf.set(_OPEN_COST, _prev_open_cost)
 
     runner.run_df_stage(
         "term_stats",

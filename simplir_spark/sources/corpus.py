@@ -46,6 +46,10 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
     elif path.endswith(".parquet") or path.endswith("/"):
         df = spark.read.parquet(path)
     else:
+        if os.path.isdir(path):
+            # Spark resolves relative paths against the JVM's cwd, which
+            # does not follow the Python process's chdir — absolutize
+            path = os.path.abspath(path)
         df = spark.read.parquet(f"{path}/documents.parquet")
 
     cols = set(df.columns)

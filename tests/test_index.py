@@ -687,3 +687,50 @@ def test_bm25_indexed_seeded_equals_unseeded(spark, index_dir, oracle_idx):
     for qid, terms in QUERIES:
         want = [(rk, ky) for rk, ky, _ in bm25_topk(oracle_idx, terms, K)]
         assert sorted(by_q.get(qid, [])) == want, qid
+
+
+def test_compact_postings_rejects_mixed_pos_buffers(spark):
+    """A term whose short runs mix positional and non-positional blobs
+    cannot be merged without misaligning positions — the kernel must
+    raise, not silently assign positions to the wrong postings."""
+    from simplir_spark.operators.merge import compact_postings
+
+    dids = np.arange(4, dtype=np.int64)
+    tfs = np.ones(4, dtype=np.int64)
+    dls = np.full(4, 10, dtype=np.int64)
+    rows = []
+    for i in range(2):
+        r = codec.encode_run(dids[i * 2 : i * 2 + 2], tfs[:2], dls[:2])
+        pos = codec.encode_positions([np.array([1]), np.array([2])]) if i == 0 else None
+        rows.append(("t", r["start_did"], r["end_did"], r["n"], r["max_tf"],
+                     r["sum_tf"], r["deltas"], r["tfs"], r["dls"], pos))
+    df = spark.createDataFrame(
+        rows,
+        "term string, start_did long, end_did long, n int, max_tf long, "
+        "sum_tf long, deltas binary, tfs binary, dls binary, pos binary",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="mixes positional"):
+        compact_postings(df, run_size=64, min_run=32).collect()
+
+
+def test_load_corpus_bare_relative_directory(spark, tmp_path_factory):
+    """A slash-free RELATIVE directory name must read as parquet
+    ({dir}/documents.parquet), not fall through to a catalog lookup."""
+    import os
+    import shutil
+
+    from simplir_spark.sources.corpus import load_corpus
+
+    base = tmp_path_factory.mktemp("barecorp")
+    shutil.copyfile(
+        "/root/testdata/sf0.001/documents.parquet",
+        str(base / "documents.parquet"),
+    )
+    cwd = os.getcwd()
+    os.chdir(str(base.parent))
+    try:
+        df = load_corpus(spark, base.name)
+        assert df.count() > 0
+        assert "doc_key" in df.columns
+    finally:
+        os.chdir(cwd)
