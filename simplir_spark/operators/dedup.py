@@ -195,34 +195,36 @@ def simhash64(tokenized: DataFrame, id_col: str = "doc_id", n_bits: int = 60) ->
     """(id, simhash) — tf-weighted sign sum over md5 bits of each term.
 
     JVM-side: explode per-doc (term, tf) pairs, one row per (doc, term),
-    cross the n_bits bit positions with a sequence transform, aggregate
-    sign sums per bit, then fold bits back into one long.
+    then ONE groupBy(doc) with n_bits conditional-sum aggregate columns
+    (sum of tf * (2*bit_b(hv) - 1) per b) — partial aggregation combines
+    map-side, so exactly one row per doc crosses the shuffle instead of
+    the naive per-(doc, bit) explosion's n_bits rows per (doc, term).
+    The bit sums fold back into one long.
     """
+    from functools import reduce
+
     from simplir_spark.functions.tokenize import term_tfs_udf
 
     pairs = tokenized.select(
         F.col(id_col), F.explode(term_tfs_udf("terms")).alias("tt")
     ).select(id_col, F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
     pairs = pairs.withColumn("hv", _md5_60(F.col("term")))
-    bits = pairs.select(
-        id_col,
-        "tf",
-        "hv",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b"),
-    ).withColumn(
-        # contrib = tf * (2*bit - 1); shiftright/shiftleft need SQL expr for
-        # a column-valued shift amount
-        "contrib",
-        F.col("tf") * (F.expr("shiftright(hv, b) & 1") * 2 - 1),
-    )
-    per_bit = bits.groupBy(id_col, "b").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy(id_col).agg(
+    aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+            F.col("tf") * (F.expr(f"shiftright(hv, {b}) & 1") * 2 - 1)
+        ).alias(f"_s{b}")
+        for b in range(n_bits)
+    ]
+    per_doc = pairs.groupBy(id_col).agg(*aggs)
+    simhash = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(1, n_bits),
+        F.when(F.col("_s0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
     )
+    return per_doc.select(F.col(id_col), simhash.alias("simhash"))
 
 
 def simhash_near_pairs(
