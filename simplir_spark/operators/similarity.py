@@ -103,16 +103,11 @@ def rp_lsh_buckets(
     def band_keys(vecs: pd.Series) -> pd.Series:
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         signs = (m @ planes.T) > 0  # (batch, n_bits)
-        # fold each band's sign bits into an integer key, vectorized
-        weights = (1 << np.arange(width, dtype=np.int64))
-        out = []
-        for row in signs:
-            keys = [
-                int(row[bnd * width : (bnd + 1) * width] @ weights)
-                for bnd in range(n_bands)
-            ]
-            out.append(keys)
-        return pd.Series(out)
+        # fold each band's sign bits into an integer key — one reshaped
+        # matmul for the whole batch, no per-row Python
+        weights = 1 << np.arange(width, dtype=np.int64)
+        keys = signs.reshape(len(m), n_bands, width) @ weights  # (batch, bands)
+        return pd.Series(keys.tolist())
 
     with_keys = emb.select(F.col(id_col), band_keys(F.col(vec_col)).alias("keys"))
     return with_keys.select(
