@@ -115,15 +115,13 @@ def _bucket_expr_linear(key_col: str, cuts: list[str]):
     return F.size(F.filter(arr, lambda c: c <= F.col(key_col)))
 
 
-def bucket_expr(key_col: str, cuts: list[str]):
-    """bucket = number of cuts <= key (0..len(cuts)); pure, deterministic.
+def _bucket_expr_case(key_col: str, cuts: list[str]):
+    """Nested-CASE binary search form, kept for the parity test only.
 
-    Emitted as a driver-built nested-CASE binary search: the expression
-    tree has one WHEN node per cut but evaluation follows a single
-    root-to-leaf path, so a row pays ceil(log2(n_cuts)) comparisons — 15
-    at the 32k-bucket cap — instead of the previous O(n_cuts) array scan
-    (which was O(n_docs x n_buckets) across the corpus and hit both the
-    slim counting pass and the heavy pass).
+    Log-depth per row but REJECTED as the default: a CASE tree carries
+    one WHEN + one Literal NODE per cut, and Catalyst pays tree-walk cost
+    per node per rule — measured ~16 s of driver time per job at 4k cuts
+    (vs ~0 for array-literal forms, which constant-fold to ONE node).
     """
     if not cuts:
         return F.lit(0)
@@ -137,6 +135,43 @@ def bucket_expr(key_col: str, cuts: list[str]):
         return F.when(F.lit(cuts[mid]) <= key, build(mid + 1, hi)).otherwise(build(lo, mid))
 
     return build(0, len(cuts))
+
+
+_BUCKET_SQRT_MIN = 128
+
+
+def bucket_expr(key_col: str, cuts: list[str]):
+    """bucket = number of cuts <= key (0..len(cuts)); pure, deterministic.
+
+    sqrt-decomposed two-level scan: a coarse array of group TAILS finds
+    how many stride-sized groups are entirely <= key, then only that
+    row's group is scanned — 2*sqrt(n) whole-stage-codegen comparisons
+    per row (362 at the 32k-bucket cap) instead of the flat scan's
+    O(n_cuts) (32k), which was an O(n_docs x n_buckets) term across the
+    corpus.  Both levels are array LITERALS (constant-folded to single
+    Literal nodes), so the driver-side plan cost stays ~zero — unlike a
+    log-depth nested-CASE, whose per-cut WHEN nodes cost seconds of
+    Catalyst tree-walking per job (measured; see _bucket_expr_case).
+    """
+    n = len(cuts)
+    if n == 0:
+        return F.lit(0)
+    key = F.col(key_col)
+    if n < _BUCKET_SQRT_MIN:
+        arr = F.array([F.lit(c) for c in cuts])
+        return F.size(F.filter(arr, lambda c: c <= key))
+    import math
+
+    stride = max(1, math.isqrt(n))
+    groups = [cuts[i : i + stride] for i in range(0, n, stride)]
+    tails = F.array([F.lit(g[-1]) for g in groups])
+    nested = F.array([F.array([F.lit(c) for c in g]) for g in groups])
+    full = F.size(F.filter(tails, lambda t: t <= key))
+    inner = F.size(F.filter(F.element_at(nested, full + 1), lambda c: c <= key))
+    # full == len(groups) -> every cut <= key (element_at would be NULL)
+    return F.when(full >= len(groups), F.lit(n)).otherwise(
+        full * stride + inner
+    )
 
 
 def bucket_offsets(df: DataFrame, key_col: str, cuts: list[str]) -> dict[int, int]:
@@ -958,25 +993,35 @@ def _term_did_bucket_expr_linear(cuts: list[tuple], did_col: str = "did"):
 def term_did_bucket_expr(cuts: list[tuple], did_col: str = "did"):
     """bucket = number of cuts <= (term, did), lexicographic — pure expr.
 
-    Nested-CASE binary search (see ``bucket_expr``): log-depth per-row
-    evaluation instead of an O(n_cuts) array scan.
+    sqrt-decomposed two-level scan over struct-array literals (see
+    ``bucket_expr`` for the design rationale): 2*sqrt(n) codegen
+    comparisons per row, ~zero driver-side plan cost.
     """
-    if not cuts:
+    n = len(cuts)
+    if n == 0:
         return F.lit(0)
     term, did = F.col("term"), F.col(did_col)
 
-    def cut_le(t: str, d: int):
+    def le(c):
         # cut (t, d) <= row (term, did), lexicographic with did inclusive
-        return (F.lit(t) < term) | ((F.lit(t) == term) & (F.lit(int(d)) <= did))
+        return (c["t"] < term) | ((c["t"] == term) & (c["d"] <= did))
 
-    def build(lo: int, hi: int):
-        if lo == hi:
-            return F.lit(lo)
-        mid = (lo + hi) // 2
-        t, d = cuts[mid]
-        return F.when(cut_le(t, d), build(mid + 1, hi)).otherwise(build(lo, mid))
+    def struct_arr(pairs):
+        return F.array(
+            [F.struct(F.lit(t).alias("t"), F.lit(int(d)).alias("d")) for t, d in pairs]
+        )
 
-    return build(0, len(cuts))
+    if n < _BUCKET_SQRT_MIN:
+        return F.size(F.filter(struct_arr(cuts), le))
+    import math
+
+    stride = max(1, math.isqrt(n))
+    groups = [cuts[i : i + stride] for i in range(0, n, stride)]
+    tails = struct_arr([g[-1] for g in groups])
+    nested = F.array([struct_arr(g) for g in groups])
+    full = F.size(F.filter(tails, le))
+    inner = F.size(F.filter(F.element_at(nested, full + 1), le))
+    return F.when(full >= len(groups), F.lit(n)).otherwise(full * stride + inner)
 
 
 # ---------------------------------------------------------------------------

@@ -580,11 +580,14 @@ def test_fused_build_matches_two_stage(spark, corpus_small, index_dir, oracle_id
                      "term_stats.json", "corpus_stats.json"}
 
 
-def test_bucket_expr_binary_search_matches_linear(spark):
-    """The log-depth nested-CASE bucket assignment must agree with the
-    O(n_cuts) linear-scan form on every key, including keys equal to a
-    cut (boundary inclusivity) and keys outside the cut range."""
+def test_bucket_expr_forms_agree(spark):
+    """The sqrt-decomposed two-level bucket assignment (the default) and
+    the nested-CASE binary-search form must agree with the O(n_cuts)
+    linear-scan reference on every key, including keys equal to a cut
+    (boundary inclusivity), keys outside the cut range, and cut counts
+    straddling the sqrt-path threshold."""
     from simplir_spark.operators.index_build import (
+        _bucket_expr_case,
         _bucket_expr_linear,
         _term_did_bucket_expr_linear,
         bucket_expr,
@@ -593,27 +596,31 @@ def test_bucket_expr_binary_search_matches_linear(spark):
 
     rng = np.random.RandomState(7)
     keys = sorted({f"doc{int(x):012d}" for x in rng.randint(0, 10_000, 400)})
-    for n_cuts in (1, 2, 3, 7, 64, 255):
+    for n_cuts in (1, 2, 3, 7, 64, 127, 128, 129, 255, 360):
         cuts = sorted(rng.choice(keys, size=min(n_cuts, len(keys)), replace=False).tolist())
         df = spark.createDataFrame([(k,) for k in keys] + [("", ), ("zzzz",)], "doc_key string")
         got = df.select(
             bucket_expr("doc_key", cuts).alias("bs"),
+            _bucket_expr_case("doc_key", cuts).alias("cs"),
             _bucket_expr_linear("doc_key", cuts).alias("lin"),
         ).collect()
         for r in got:
-            assert r["bs"] == r["lin"], (n_cuts, r)
+            assert r["bs"] == r["lin"] == r["cs"], (n_cuts, r)
 
-    # (term, did) lexicographic variant, boundary did inclusive
+    # (term, did) lexicographic variant, boundary did inclusive — one
+    # small-cut case and one crossing the sqrt threshold
     terms = ["alpha", "beta", "gamma", "delta"]
     rows = [(t, int(d)) for t in terms for d in rng.randint(0, 50, 30)]
-    td_cuts = sorted({("beta", 10), ("beta", 25), ("delta", 0), ("gamma", 49)})
+    small = sorted({("beta", 10), ("beta", 25), ("delta", 0), ("gamma", 49)})
+    big = sorted({(t, int(d)) for t in terms for d in rng.randint(0, 50, 40)})
     df = spark.createDataFrame(rows, "term string, did long")
-    got = df.select(
-        term_did_bucket_expr(td_cuts).alias("bs"),
-        _term_did_bucket_expr_linear(td_cuts).alias("lin"),
-    ).collect()
-    for r in got:
-        assert r["bs"] == r["lin"], r
+    for td_cuts in (small, big):
+        got = df.select(
+            term_did_bucket_expr(td_cuts).alias("bs"),
+            _term_did_bucket_expr_linear(td_cuts).alias("lin"),
+        ).collect()
+        for r in got:
+            assert r["bs"] == r["lin"], (len(td_cuts), r)
 
 
 def test_theta0_seed_deepens_pruning_and_preserves_topk():
