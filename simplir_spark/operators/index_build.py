@@ -95,7 +95,11 @@ def sample_boundaries(
         n = df.count()
     if n == 0 or n_buckets <= 1:
         return []
-    target = min(n, max(n_buckets * 200, 10_000))
+    # ~200 sampled keys per bucket, but cap the driver-side collect at 2M
+    # keys (~62/bucket at the 32k-bucket cap — still far above the ~20
+    # needed for balanced cuts; uncapped this would pull 6.5M strings
+    # into the driver)
+    target = min(n, max(min(n_buckets * 200, 2_000_000), 10_000))
     frac = min(1.0, target / n)
     sample = [r[0] for r in df.select(key_col).sample(False, frac, seed=seed).collect()]
     if not sample:
