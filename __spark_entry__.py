@@ -169,6 +169,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_quality(_tokenized_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-token / duplicate-n-gram repetition signals (the Gopher
+    family of training-data quality filters) — a pure column projection,
+    no shuffle at any corpus size."""
+    from simplir_spark.functions.text import repetition_stats
+
+    return repetition_stats(_tokenized_docs(spark, sf_dir))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplir_spark.functions.text import doc_fingerprint
 
@@ -760,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "text_quality": q_text_quality,
+        "repetition_stats": q_repetition_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "doclen_histogram": q_doclen_histogram,
         "trec_run": q_trec_run,
@@ -1154,6 +1164,29 @@ def oracle_sql() -> dict[str, str]:
     FROM documents d
     LEFT JOIN tok_alnum ta ON ta.doc_id = d.doc_id
     LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+    sql["repetition_stats"] = """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 2) AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks,
+        CASE WHEN len(toks) >= 2 THEN
+          [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)]
+        ELSE [] END AS g2,
+        CASE WHEN len(toks) >= 3 THEN
+          [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, len(toks) - 2)]
+        ELSE [] END AS g3
+      FROM tk
+    )
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      round(CASE WHEN len(toks) > 0 THEN (len(toks) - len(list_distinct(toks))) / len(toks) ELSE 0.0 END, 6) AS dup_token_frac,
+      round(CASE WHEN len(g2) > 0 THEN (len(g2) - len(list_distinct(g2))) / len(g2) ELSE 0.0 END, 6) AS dup_2gram_frac,
+      round(CASE WHEN len(g3) > 0 THEN (len(g3) - len(list_distinct(g3))) / len(g3) ELSE 0.0 END, 6) AS dup_3gram_frac
+    FROM g
     """
 
     sql["doc_fingerprint"] = """

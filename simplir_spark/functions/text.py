@@ -236,3 +236,41 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         ws.cast("long").alias("n_ws"),
         bpe.cast("long").alias("n_bpe"),
     )
+
+
+def repetition_stats(tokenized: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition signals for training-data filtering — the
+    duplicate-n-gram family of quality heuristics (Gopher/MassiveText
+    style): heavily self-repeating documents (boilerplate, generated
+    spam, scraper loops) score high and get filtered upstream of
+    training.
+
+    Columns: id, n_tokens, dup_token_frac (1 - distinct/total),
+    dup_2gram_frac and dup_3gram_frac ((total - distinct)/total over
+    sliding token n-grams); fractions are 0 for docs too short to form
+    an n-gram.  Pure column projection — array expressions only, no
+    shuffle, no Python; at any corpus size this runs at scan speed.
+    """
+
+    def grams(n: int):
+        return F.expr(
+            f"CASE WHEN size(terms) >= {n} THEN "
+            f"transform(sequence(0, size(terms) - {n}),"
+            f" i -> concat_ws(' ', slice(terms, i + 1, {n}))) "
+            f"ELSE array() END"
+        )
+
+    def dup_frac(arr):
+        total = F.size(arr)
+        return F.when(
+            total > 0, (total - F.size(F.array_distinct(arr))) / total
+        ).otherwise(F.lit(0.0))
+
+    n_tokens = F.size("terms").cast("long")
+    return tokenized.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(dup_frac(F.col("terms")), 6).alias("dup_token_frac"),
+        F.round(dup_frac(grams(2)), 6).alias("dup_2gram_frac"),
+        F.round(dup_frac(grams(3)), 6).alias("dup_3gram_frac"),
+    )

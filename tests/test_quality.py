@@ -53,3 +53,31 @@ def test_decontaminate_planted_copy(spark):
     assert out[1] == (1, True)   # self
     assert out[2] == (1, True)   # planted copy inside longer doc
     assert out[3] == (0, False)
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Hand-checked duplicate-token / duplicate-n-gram fractions,
+    including the too-short-for-n-gram edge (fraction 0)."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.functions.text import repetition_stats
+
+    rows = [
+        # terms: [aaa bbb aaa bbb] -> tokens 4 distinct 2 -> dup_tok 0.5
+        # 2-grams: [aaa bbb, bbb aaa, aaa bbb] -> 3 total 2 distinct -> 1/3
+        # 3-grams: [aaa bbb aaa, bbb aaa bbb] -> 2 total 2 distinct -> 0
+        (1, ["aaa", "bbb", "aaa", "bbb"]),
+        (2, ["unique"]),          # too short for any n-gram
+        (3, []),                  # empty doc
+        (4, ["xxx", "xxx", "xxx"]),  # all repeated: dup_tok 2/3, g2 1/2, g3 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, terms array<string>")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert (got[1]["n_tokens"], got[1]["dup_token_frac"]) == (4, 0.5)
+    assert got[1]["dup_2gram_frac"] == round(1 / 3, 6)
+    assert got[1]["dup_3gram_frac"] == 0.0
+    assert (got[2]["n_tokens"], got[2]["dup_2gram_frac"]) == (1, 0.0)
+    assert (got[3]["n_tokens"], got[3]["dup_token_frac"]) == (0, 0.0)
+    assert got[4]["dup_token_frac"] == round(2 / 3, 6)
+    assert got[4]["dup_2gram_frac"] == 0.5
+    assert got[4]["dup_3gram_frac"] == 0.0
