@@ -741,3 +741,23 @@ def test_load_corpus_bare_relative_directory(spark, tmp_path_factory):
         assert "doc_key" in df.columns
     finally:
         os.chdir(cwd)
+
+
+def test_build_with_many_buckets_exercises_sqrt_path(spark, corpus_small, oracle_idx, tmp_path_factory):
+    """A build whose cut count crosses the sqrt-decomposition threshold
+    (>= 128 cuts) must still produce dense ids and rank-identical BM25 —
+    the end-to-end gate for the two-level bucket assignment."""
+    d = str(tmp_path_factory.mktemp("manybuckets") / "idx")
+    build_index(spark, corpus_small, d, n_partitions=200, run_size=64)
+    idx = open_index(spark, d)
+    rows = idx.docmeta.orderBy("did").collect()
+    assert [r.did for r in rows] == list(range(len(rows)))
+    assert [r.doc_key for r in rows] == sorted(r.doc_key for r in rows)
+    got = bm25_indexed(spark, idx, QUERIES[:4], k=K).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, terms in QUERIES[:4]:
+        want = bm25_topk(oracle_idx, terms, K)
+        have = sorted(by_q.get(qid, []), key=lambda r: r.rank)
+        assert [(r.rank, r.doc_key) for r in have] == [(rk, ky) for rk, ky, _ in want], qid
