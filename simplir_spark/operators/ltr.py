@@ -198,3 +198,77 @@ def coordinate_ascent(
             break
     features.unpersist()
     return w, best_map
+
+
+def coordinate_ascent_minibatched(
+    spark: SparkSession,
+    features: DataFrame,
+    qrels: DataFrame,
+    n_features: int,
+    batch_size: int = 100,
+    batch_steps: int = 1,
+    n_batches: int = 8,
+    eval_every: int = 2,
+    steps: list[float] | None = None,
+    init: list[float] | None = None,
+    eval_cutoff: int | None = None,
+    seed: int = 42,
+) -> tuple[list[float], float]:
+    """Minibatched coordinate ascent — the reference's `miniBatched` +
+    `miniBatchedAndEvaluated` training loop (TrainUtils.hs:121-155,
+    LearningToRank.hs:120-126; defaults mirror MiniBatchParams 1 100):
+
+    * each mini-batch samples ``batch_size`` query ids WITH replacement
+      (the reference's ``randoms gen `mod` nQueries``), deterministically
+      seeded here instead of split generators;
+    * ``batch_steps`` coordinate sweeps run on the subset, accepting
+      batch-LOCAL strict improvements — within-batch MAP "won't be
+      comparable across batches" (the reference's own caveat), so
+      acceptance never compares across batches;
+    * every ``eval_every`` batches (and at the end) the current weights
+      are evaluated on the FULL query set; the best full-eval iterate —
+      the initial weights included — is returned with its MAP, so the
+      result never regresses below the starting point.
+
+    Scale shape: a mini-batch is a ``qid IN (...)`` filter over the
+    cached feature table — each sweep touches batch_size queries' rows
+    instead of the full corpus, which is the point of minibatching once
+    the query log is large.
+    """
+    import numpy as np
+
+    steps = steps or DEFAULT_STEPS
+    w = _l2_normalize(list(init) if init is not None else [1.0] * n_features)
+    if w is None:
+        raise ValueError("initial weights must be non-zero")
+    features = features.cache()
+    qids = sorted(r["qid"] for r in features.select("qid").distinct().collect())
+    if not qids:
+        raise ValueError("no queries in features")
+    rng = np.random.RandomState(seed)
+    best_map = weighted_map(features, qrels, w)
+    best_w = w
+    for b in range(n_batches):
+        batch_qids = sorted({qids[i] for i in rng.randint(0, len(qids), size=batch_size)})
+        bf = features.filter(F.col("qid").isin(batch_qids))
+        bqr = qrels.filter(F.col("qid").isin(batch_qids))
+        local_best = weighted_map(bf, bqr, w)
+        for _ in range(batch_steps):
+            improved = False
+            for j in range(n_features):
+                cands, scores = _eval_coordinate_steps(bf, bqr, w, j, steps, eval_cutoff)
+                if not cands:
+                    continue
+                si = max(sorted(scores), key=lambda k: scores[k])
+                if scores[si] > local_best + 1e-12:
+                    w = cands[si]
+                    local_best = scores[si]
+                    improved = True
+            if not improved:
+                break
+        if (b + 1) % eval_every == 0 or b == n_batches - 1:
+            m = weighted_map(features, qrels, w)
+            if m > best_map:
+                best_map, best_w = m, w
+    features.unpersist()
+    return best_w, best_map

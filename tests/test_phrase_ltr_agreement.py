@@ -130,6 +130,45 @@ def test_coordinate_ascent_learns_informative_feature(spark):
     assert weighted_map(features, qr, w) == pytest.approx(m, abs=1e-12)
 
 
+def test_minibatched_ascent_learns_and_never_regresses(spark):
+    """Minibatched training (TrainUtils.miniBatched semantics: sampled
+    query batches, batch-local acceptance, periodic full-set evaluation)
+    must learn the informative feature on the same synthetic set, never
+    return weights worse than the initial full-set MAP, and be
+    deterministic for a fixed seed."""
+    from simplir_spark.operators.ltr import (
+        coordinate_ascent_minibatched,
+        weighted_map,
+    )
+
+    rows, qrels = [], []
+    for q in range(6):
+        qid = f"q{q}"
+        for d in range(8):
+            doc = f"d{d}"
+            rel = 1 if d < 2 else 0
+            noise = float((d * 7 + q * 3) % 5)
+            rows.append((qid, doc, [noise, 1.0 if rel else 0.0, 0.0 if rel else 1.0]))
+            if rel:
+                qrels.append((qid, doc, 1))
+    features = spark.createDataFrame(rows, "qid string, doc string, features array<double>")
+    qr = spark.createDataFrame(qrels, "qid string, doc string, relevance int")
+
+    m0 = weighted_map(features, qr, [1.0, 1.0, 1.0])
+    w, m = coordinate_ascent_minibatched(
+        spark, features, qr, n_features=3,
+        batch_size=3, batch_steps=1, n_batches=4, eval_every=2, seed=7,
+    )
+    assert m >= m0  # best-iterate selection includes the initial weights
+    assert m == pytest.approx(1.0, abs=1e-9)
+    assert weighted_map(features, qr, w) == pytest.approx(m, abs=1e-12)
+    w2, m2 = coordinate_ascent_minibatched(
+        spark, features, qr, n_features=3,
+        batch_size=3, batch_steps=1, n_batches=4, eval_every=2, seed=7,
+    )
+    assert w == w2 and m == m2  # deterministic for a fixed seed
+
+
 # ---------------------------------------------------------------------------
 # Agreement
 # ---------------------------------------------------------------------------
