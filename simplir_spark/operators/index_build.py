@@ -85,29 +85,101 @@ MAX_AUTO_PARTITIONS = 32_768
 # ---------------------------------------------------------------------------
 
 
+# Boundary sketch knobs: the driver merges at most ~BOUNDARY_KEYS_PER_BUCKET
+# weighted candidates per bucket (hard-capped), INDEPENDENT of corpus size.
+BOUNDARY_KEYS_PER_BUCKET = 32
+BOUNDARY_BUDGET_CAP = 1_048_576
+# The distributed thinning pass runs on a fixed partition count so the
+# per-partition candidate quota (budget / parts) is known without asking
+# the input plan for its partitioning.
+BOUNDARY_SKETCH_PARTS = 32
+# JVM-side pre-sample target: oversample x budget rows flow into the Arrow
+# thinning kernel (distributed — never collected).
+BOUNDARY_OVERSAMPLE = 4
+
+
+def _boundary_sketch(
+    df: DataFrame, key_col: str, budget: int, seed: int, frac: float
+) -> list[tuple[str, float]]:
+    """Distributed weighted splitter candidates (RangePartitioner-style sketch).
+
+    JVM-side ``sample(frac)`` bounds what leaves the scan; a round-robin
+    repartition to ``BOUNDARY_SKETCH_PARTS`` balances it; then an Arrow
+    kernel per partition SORTS its keys C++-side and thins them to at most
+    ``budget / parts`` evenly-spaced order statistics, each weighted by the
+    number of sampled keys it stands for.  Only those <= budget (key,
+    weight) pairs ever reach the driver — O(n_buckets * c) driver memory
+    and merge time at any corpus size (the distributed analog of
+    Document.hs:62-76 staying driver-cheap).
+    """
+    parts = BOUNDARY_SKETCH_PARTS
+    quota = max(1, -(-budget // parts))  # ceil
+
+    def thin(iterator):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        chunks = []
+        for batch in iterator:
+            chunks.append(batch.column(0))
+        if not chunks:
+            return
+        keys = pa.chunked_array(chunks).combine_chunks()
+        count = len(keys)
+        k = min(quota, count)
+        order = pc.sort_indices(keys)
+        # evenly-spaced order statistics at ranks (i + 0.5) * count / k
+        import numpy as np
+
+        ranks = ((np.arange(k, dtype=np.float64) + 0.5) * count / k).astype(np.int64)
+        picked = pc.take(keys, pc.take(order, pa.array(ranks)))
+        weights = pa.array(np.full(k, count / k, dtype=np.float64))
+        yield pa.RecordBatch.from_arrays([picked, weights], ["key", "weight"])
+
+    ktype = df.schema[key_col].dataType.simpleString()
+    sampled = df.select(F.col(key_col).alias("key"))
+    if frac < 1.0:
+        sampled = sampled.sample(False, frac, seed=seed)
+    sketch = sampled.repartition(parts).mapInArrow(thin, f"key {ktype}, weight double")
+    return [(r["key"], r["weight"]) for r in sketch.collect()]
+
+
 def sample_boundaries(
     df: DataFrame, key_col: str, n_buckets: int, seed: int = 42, n: int | None = None
 ) -> list[str]:
     """Deterministic range-bucket boundaries for ``key_col`` (n_buckets-1 cuts).
 
-    ``n`` skips the row count when the caller already knows it."""
+    ``n`` skips the row count when the caller already knows it.  The heavy
+    lifting (sample, sort, thin) happens in executors; the driver only
+    merges a corpus-size-independent weighted candidate set (see
+    ``_boundary_sketch``) and walks cumulative weight to the cut points.
+    """
+    if n_buckets <= 1:
+        return []
     if n is None:
         n = df.count()
-    if n == 0 or n_buckets <= 1:
+    if n == 0:
         return []
-    # ~200 sampled keys per bucket, but cap the driver-side collect at 2M
-    # keys (~62/bucket at the 32k-bucket cap — still far above the ~20
-    # needed for balanced cuts; uncapped this would pull 6.5M strings
-    # into the driver)
-    target = min(n, max(min(n_buckets * 200, 2_000_000), 10_000))
-    frac = min(1.0, target / n)
-    sample = [r[0] for r in df.select(key_col).sample(False, frac, seed=seed).collect()]
-    if not sample:
+    budget = min(max(n_buckets * BOUNDARY_KEYS_PER_BUCKET, 10_000), BOUNDARY_BUDGET_CAP)
+    frac = min(1.0, (BOUNDARY_OVERSAMPLE * budget) / n)
+    cand = _boundary_sketch(df, key_col, budget, seed, frac)
+    if not cand:
         return []
-    sample.sort()
-    cuts = []
-    for i in range(1, n_buckets):
-        cuts.append(sample[min(len(sample) - 1, i * len(sample) // n_buckets)])
+    cand.sort(key=lambda kw: kw[0])
+    total = sum(w for _, w in cand)
+    step = total / n_buckets
+    cuts: list[str] = []
+    cum = 0.0
+    target = step
+    j = 1
+    for key, w in cand:
+        cum += w
+        while j < n_buckets and cum >= target:
+            cuts.append(key)
+            j += 1
+            target = j * step
+        if j >= n_buckets:
+            break
     return sorted(set(cuts))
 
 
@@ -1119,45 +1191,47 @@ def _build_index_fused(
     _OPEN_COST = "spark.sql.files.openCostInBytes"
     _prev_open_cost = spark.conf.get(_OPEN_COST)
     spark.conf.set(_OPEN_COST, str(128 * 1024 * 1024))
-
-    r_doc = runner.run_df_stage(
-        "docmeta",
-        # row_kind min/max prunes the pure row groups; the heavy blob
-        # columns are never read (column pruning)
-        lambda: chunks.filter(F.col("row_kind") == 0).select(*doc_cols),
-        upstream=["chunks"],
-        sort_within_partitions=["did"],
-    )
-
-    def build_postings_from_chunks() -> DataFrame:
-        runs = chunks.filter(F.col("row_kind") == 1).select(*_RUN_COLS)
-        # boundary cuts from the runs themselves: every full run is an
-        # equal-posting-mass sample point, so (term, start_did) run keys
-        # are better balanced than a doc sample.  The sample denominator
-        # is the RUN row count (chunks rows minus docmeta rows) — dividing
-        # by total chunk rows would undershoot the target ~25 keys/cut by
-        # the docmeta fraction and starve the postings stage of cuts.
-        n_runs = max((r_chunks.rows or 1) - (r_doc.rows or 0), 1)
-        sample = [
-            (r["term"], int(r["start_did"]))
-            for r in runs.select("term", "start_did")
-            .sample(False, min(1.0, max(2000.0, n_partitions * 25.0) / n_runs), seed=42)
-            .limit(200_000)
-            .collect()
-        ]
-        cuts = term_did_cuts(sample, n_partitions)
-        if not cuts:
-            return runs.coalesce(1)
-        n_buckets = len(cuts) + 1
-        xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
-        return (
-            runs.withColumn("_b", term_did_bucket_expr(cuts, did_col="start_did"))
-            .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_b") + 1))
-            .repartition(n_buckets, "_xb")
-            .drop("_b", "_xb")
+    # Everything between set and restore runs under the try — an exception
+    # in ANY stage (docmeta included) must not leak the 128MB override
+    # into the shared session and degrade later small-file reads.
+    try:
+        r_doc = runner.run_df_stage(
+            "docmeta",
+            # row_kind min/max prunes the pure row groups; the heavy blob
+            # columns are never read (column pruning)
+            lambda: chunks.filter(F.col("row_kind") == 0).select(*doc_cols),
+            upstream=["chunks"],
+            sort_within_partitions=["did"],
         )
 
-    try:
+        def build_postings_from_chunks() -> DataFrame:
+            runs = chunks.filter(F.col("row_kind") == 1).select(*_RUN_COLS)
+            # boundary cuts from the runs themselves: every full run is an
+            # equal-posting-mass sample point, so (term, start_did) run keys
+            # are better balanced than a doc sample.  The sample denominator
+            # is the RUN row count (chunks rows minus docmeta rows) — dividing
+            # by total chunk rows would undershoot the target ~25 keys/cut by
+            # the docmeta fraction and starve the postings stage of cuts.
+            n_runs = max((r_chunks.rows or 1) - (r_doc.rows or 0), 1)
+            sample = [
+                (r["term"], int(r["start_did"]))
+                for r in runs.select("term", "start_did")
+                .sample(False, min(1.0, max(2000.0, n_partitions * 25.0) / n_runs), seed=42)
+                .limit(200_000)
+                .collect()
+            ]
+            cuts = term_did_cuts(sample, n_partitions)
+            if not cuts:
+                return runs.coalesce(1)
+            n_buckets = len(cuts) + 1
+            xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
+            return (
+                runs.withColumn("_b", term_did_bucket_expr(cuts, did_col="start_did"))
+                .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_b") + 1))
+                .repartition(n_buckets, "_xb")
+                .drop("_b", "_xb")
+            )
+
         r_post = runner.run_df_stage(
             "postings",
             build_postings_from_chunks,

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simplir_spark.cacheutil import CacheRegistry
 from simplir_spark.functions import codec
 from simplir_spark.functions.scoring import B_DEFAULT, K1_DEFAULT
 from simplir_spark.operators.index_build import IndexHandle
@@ -129,7 +130,12 @@ def score_query_runs(
         trun = runs[terms == t].sort_values("start_did")
         idf = idf_by_term[t]
 
-        if theta < rest:
+        # Skip a run's unseen docs only when rest < theta STRICTLY: with
+        # b=0 the per-term upper bound (dl->0) is exact at tf==max_tf, so
+        # a doc scoring exactly theta is attainable and the did tie-break
+        # could place it in the global top-k — non-strict pruning would
+        # make seeded and unseeded shards disagree on such ties.
+        if theta <= rest:
             decode_mask = np.ones(len(trun), dtype=bool)
         else:
             # only runs overlapping live candidates matter
@@ -324,7 +330,7 @@ def ql_dirichlet_indexed(
     return _resolve_doc_keys(spark, index, topk)
 
 
-_live_topk_caches: list[DataFrame] = []
+_live_topk_caches = CacheRegistry(retain=4)
 
 
 def _resolve_doc_keys(spark: SparkSession, index: IndexHandle, topk: DataFrame) -> DataFrame:
@@ -337,19 +343,16 @@ def _resolve_doc_keys(spark: SparkSession, index: IndexHandle, topk: DataFrame) 
     DataFrame (broadcast), so lineage/AQE stay intact — no
     createDataFrame round-trip of the scores through the driver.
 
-    Cache lifecycle: each call evicts the PREVIOUS call's persisted top-k
-    (module registry), so repeated indexed queries hold at most one tiny
-    cached block set instead of accumulating for the session's lifetime.
-    A previous result re-collected after eviction recomputes — correct,
-    just unpersisted.
+    Cache lifecycle: a lock-guarded bounded registry (``CacheRegistry``)
+    retains the most recent persisted top-ks and evicts older ones, so
+    repeated indexed queries hold a bounded set of tiny cached blocks
+    instead of accumulating for the session's lifetime, and a handful of
+    concurrent queries cannot unpersist each other's in-flight cache.
+    A result re-collected after falling out of the window recomputes —
+    correct, just unpersisted.
     """
-    while _live_topk_caches:
-        try:
-            _live_topk_caches.pop().unpersist(blocking=False)
-        except Exception:
-            pass  # session may be stopped; eviction is best-effort
     topk = topk.persist()
-    _live_topk_caches.append(topk)
+    _live_topk_caches.register(topk)
     dids = sorted(r["did"] for r in topk.select("did").distinct().collect())
     if not dids:
         key_type = index.docmeta.schema["doc_key"].dataType.simpleString()

@@ -64,6 +64,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from simplir_spark.cacheutil import CacheRegistry
 from simplir_spark.functions.scoring import (
     bm25_term_score,
     ql_dirichlet_term_score,
@@ -114,6 +115,9 @@ def _collect(node: dict, leaves: list[dict], preds: list[list[str]]) -> None:
         raise ValueError(f"unknown node type {t}")
 
 
+_dsl_caches = CacheRegistry(retain=4)
+
+
 def _matched_rows(corpus: DataFrame, all_units: list[str]):
     """Shared leaf-matching front end: ONE tokenizer pass, term rows
     filtered to the unit list, phrase units (names containing a space)
@@ -133,9 +137,13 @@ def _matched_rows(corpus: DataFrame, all_units: list[str]):
     tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len")
     if phrase_units:
         # the phrase kernel is a second linear pass over the token arrays
-        # — cache them rather than re-running the tokenizer
+        # — cache them rather than re-running the tokenizer.  Registered
+        # for bounded eviction: without it every compiled phrase-bearing
+        # query would leak a cached dataset for the session lifetime.
         tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
+        _dsl_caches.register(tokenized)
     pairs = doc_term_tfs(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
+    _dsl_caches.register(pairs)
     doc_count = corpus.count()
     tc = pairs.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tc")).collect()[0]["tc"]
     token_count = int(tc)

@@ -761,3 +761,76 @@ def test_build_with_many_buckets_exercises_sqrt_path(spark, corpus_small, oracle
         want = bm25_topk(oracle_idx, terms, K)
         have = sorted(by_q.get(qid, []), key=lambda r: r.rank)
         assert [(r.rank, r.doc_key) for r in have] == [(rk, ky) for rk, ky, _ in want], qid
+
+
+def test_boundary_sketch_is_corpus_size_independent(spark):
+    """The distributed splitter sketch collects O(budget) weighted
+    candidates no matter how large the input is (VERDICT r3 #1): for a
+    corpus far bigger than budget, the driver-side candidate count stays
+    <= budget, and the resulting cuts still give balanced buckets."""
+    from simplir_spark.operators.index_build import (
+        _boundary_sketch,
+        bucket_offsets,
+        sample_boundaries,
+    )
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.format_string("key%08d", (F.col("id") * 2654435761) % n).alias("k")
+    )
+    budget = 256
+    cand = _boundary_sketch(df, "k", budget=budget, seed=42, frac=1.0)
+    assert 0 < len(cand) <= budget
+    # every candidate carries positive weight and weights sum ~ n
+    assert all(w > 0 for _, w in cand)
+    assert abs(sum(w for _, w in cand) - n) < 1e-6 * n
+
+    n_buckets = 16
+    cuts = sample_boundaries(df, "k", n_buckets, n=n)
+    assert 0 < len(cuts) <= n_buckets - 1
+    offsets = bucket_offsets(df, "k", cuts)
+    # derive per-bucket counts from the exclusive-scan offsets
+    ordered = [offsets[b] for b in sorted(offsets)] + [n]
+    sizes = [b - a for a, b in zip(ordered, ordered[1:])]
+    mean = n / len(sizes)
+    assert max(sizes) < 2.0 * mean, sizes
+
+    # deterministic: same input, same cuts
+    assert cuts == sample_boundaries(df, "k", n_buckets, n=n)
+
+
+def test_hot_term_balance(spark, tmp_path_factory):
+    """Skew gate (BASELINE.json salted skew splitting): one term in 50%
+    of docs must not pile its posting mass into one partition file — the
+    run-key range partitioner IS the salt, so per-file posting mass stays
+    within a constant factor of the mean, and results are rank-identical
+    to the scan scorer."""
+    from simplir_spark.operators.query import bm25_scan
+
+    rows = [
+        (
+            f"d{i:05d}",
+            ("hot " if i % 2 == 0 else "") + f"filler{i % 97:03d} uniq{i:05d}",
+        )
+        for i in range(4000)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_key string, content string")
+    out = str(tmp_path_factory.mktemp("hotbal") / "idx")
+    build_index(spark, corpus, out, n_partitions=8, run_size=64)
+    idx = open_index(spark, out)
+    per_file = (
+        idx.postings.select(F.input_file_name().alias("f"), "n")
+        .groupBy("f")
+        .agg(F.sum("n").alias("mass"))
+        .collect()
+    )
+    masses = [r.mass for r in per_file]
+    assert len(masses) > 1
+    mean = sum(masses) / len(masses)
+    assert max(masses) <= 3.0 * mean, sorted(masses)
+
+    got = bm25_indexed(spark, idx, [("q", ["hot", "filler042"])], k=K).collect()
+    want = bm25_scan(spark, corpus, [("q", ["hot", "filler042"])], k=K).collect()
+    assert [(r.doc_key, r.rank) for r in sorted(got, key=lambda r: r.rank)] == [
+        (r.doc_key, r.rank) for r in sorted(want, key=lambda r: r.rank)
+    ]
