@@ -834,3 +834,16 @@ def test_hot_term_balance(spark, tmp_path_factory):
     assert [(r.doc_key, r.rank) for r in sorted(got, key=lambda r: r.rank)] == [
         (r.doc_key, r.rank) for r in sorted(want, key=lambda r: r.rank)
     ]
+
+
+def test_bucket_expr_selects_sqrt_form_past_threshold(spark):
+    """Past _BUCKET_SQRT_MIN cuts the default bucket expression must be
+    the sqrt-decomposed two-level form (element_at over nested array
+    literals), and below it the flat scan (regression guard for the
+    BENCH/bucket_search.json A/B)."""
+    from simplir_spark.operators.index_build import _BUCKET_SQRT_MIN, bucket_expr
+
+    big = [f"c{i:06d}" for i in range(_BUCKET_SQRT_MIN)]
+    small = big[: _BUCKET_SQRT_MIN - 1]
+    assert "element_at" in repr(bucket_expr("k", big))
+    assert "element_at" not in repr(bucket_expr("k", small))
