@@ -129,6 +129,97 @@ def cmd_score(args) -> None:
     print(args.out)
 
 
+def _parse_feature_files(pairs: list[str]) -> list[tuple[str, str]]:
+    """NAME=PATH feature-file args (Learn2Rank.hs optFeatureFiles)."""
+    out = []
+    for s in pairs:
+        name, sep, path = s.partition("=")
+        if not sep or not name or not path:
+            raise SystemExit(f"mal-formed feature file (expect NAME=PATH): {s}")
+        out.append((name, path))
+    if len({n for n, _ in out}) != len(out):
+        raise SystemExit("duplicate feature")  # Learn2Rank.hs fromListWith error
+    return out
+
+
+def _run_features(spark, feature_files: list[tuple[str, str]]):
+    """One feature per TREC run file, value = the run score
+    (runToDocFeatures, LearningToRankWrapper.hs:92-100).  Docs must carry
+    EVERY feature (the reference's toFeatures' M.! is partial); the inner
+    join makes that explicit."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.sources.trec import read_trec_run
+
+    names = sorted(n for n, _ in feature_files)
+    paths = dict(feature_files)
+    df = None
+    for n in names:
+        r = read_trec_run(spark, paths[n]).select(
+            "qid", "doc", F.col("score").alias(f"f_{n}")
+        )
+        df = r if df is None else df.join(r, ["qid", "doc"], "inner")
+    features = df.select(
+        "qid", "doc", F.array(*[f"f_{n}" for n in names]).alias("features")
+    )
+    return names, features
+
+
+def cmd_learn(args) -> None:
+    """Learn2Rank.hs `learn`: features from run files + qrels -> trained
+    model JSON (weights de-normalized, applicable to raw features)."""
+    from simplir_spark.operators.ltr import (
+        ZNormalizer,
+        coordinate_ascent,
+        k_fold_cross_validate,
+        save_model,
+    )
+    from simplir_spark.sources.trec import read_qrels
+
+    spark = _spark(args)
+    names, features = _run_features(spark, _parse_feature_files(args.features))
+    qrels = read_qrels(spark, args.qrels)
+    if args.folds:
+        cv = k_fold_cross_validate(
+            spark, features, qrels, n_features=len(names),
+            k=args.folds, n_iters=args.iters, n_restarts=args.restarts,
+            eval_cutoff=args.cutoff,
+        )
+        # final model: train on ALL queries (folds were the estimate)
+        norm = ZNormalizer.fit(features, len(names))
+        w, m = coordinate_ascent(
+            spark, norm.normalize(features), qrels, n_features=len(names),
+            n_iters=args.iters, eval_cutoff=args.cutoff,
+        )
+        save_model(args.out, names, norm.denorm_weights(w))
+        print(json.dumps({
+            "map": m, "cv_map": cv["cv_map"],
+            "fold_test_maps": [f["test_map"] for f in cv["folds"]],
+        }))
+    else:
+        norm = ZNormalizer.fit(features, len(names))
+        w, m = coordinate_ascent(
+            spark, norm.normalize(features), qrels, n_features=len(names),
+            n_iters=args.iters, eval_cutoff=args.cutoff,
+        )
+        save_model(args.out, names, norm.denorm_weights(w))
+        print(json.dumps({"map": m}))
+
+
+def cmd_rerank(args) -> None:
+    """Learn2Rank.hs `predict`: apply a saved model to feature run files
+    and write the reranked TREC run."""
+    from simplir_spark.operators.ltr import load_model, rerank_with_model
+    from simplir_spark.sources.trec import write_trec_run
+
+    spark = _spark(args)
+    feat_names, features = _run_features(spark, _parse_feature_files(args.features))
+    names, weights = load_model(args.model)
+    ranked = rerank_with_model(features, names, weights, feat_names, k=args.k)
+    write_trec_run(ranked, args.out, method="l2r", doc_col="doc")
+    print(args.out)
+
+
 def cmd_eval(args) -> None:
     from simplir_spark.operators.evaluation import mean_average_precision
     from simplir_spark.sources.trec import read_qrels, read_trec_run
@@ -188,6 +279,23 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--run", required=True)
     sp.add_argument("--qrels", required=True)
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("learn")
+    sp.add_argument("-o", "--out", required=True)
+    sp.add_argument("-q", "--qrels", required=True)
+    sp.add_argument("features", nargs="+", metavar="FEATURE=PATH")
+    sp.add_argument("--iters", type=int, default=2)
+    sp.add_argument("--cutoff", type=int, default=None)
+    sp.add_argument("--folds", type=int, default=0)
+    sp.add_argument("--restarts", type=int, default=1)
+    sp.set_defaults(fn=cmd_learn)
+
+    sp = sub.add_parser("rerank")
+    sp.add_argument("-m", "--model", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("features", nargs="+", metavar="FEATURE=PATH")
+    sp.add_argument("--k", type=int, default=None)
+    sp.set_defaults(fn=cmd_rerank)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -272,3 +272,271 @@ def coordinate_ascent_minibatched(
                 best_map, best_w = m, w
     features.unpersist()
     return best_w, best_map
+
+
+# ---------------------------------------------------------------------------
+# Feature z-normalization (SimplIR/FeatureSpace/Normalise.hs:19-50)
+# ---------------------------------------------------------------------------
+
+
+class ZNormalizer:
+    """Per-feature mean/std normalization with weight de-normalization —
+    `zNormalizer` / `featureMeanDev` / `denormWeights`
+    (Normalise.hs:19-50).  Uniform features are guarded: std 0 -> 1, so
+    a constant feature passes through unscaled instead of dividing by
+    zero.
+
+    Coordinate ascent on unnormalized features converges badly once
+    features have mixed scales (the delta grid is absolute); normalize
+    before training, then `denorm_weights` makes the learned vector
+    applicable to RAW features: (f-m)/s . w  ==  f . (w/s) + const, and
+    a per-query constant never changes ranks.
+    """
+
+    def __init__(self, mean: list[float], std: list[float]):
+        self.mean = [float(x) for x in mean]
+        self.std = [1.0 if s == 0.0 else float(s) for s in std]
+
+    @classmethod
+    def fit(cls, features: DataFrame, n_features: int) -> "ZNormalizer":
+        """featureMeanDev as DataFrame aggregates: two map-side-combined
+        agg jobs (mean, then mean squared deviation — the reference's
+        exact two-pass form), no shuffle wider than n_features columns."""
+        el = lambda i: F.element_at("features", i + 1)  # noqa: E731
+        mrow = features.agg(
+            *[F.avg(el(i)).alias(f"m{i}") for i in range(n_features)]
+        ).collect()[0]
+        mean = [float(mrow[f"m{i}"] or 0.0) for i in range(n_features)]
+        srow = features.agg(
+            *[
+                F.avg(F.pow(el(i) - F.lit(mean[i]), 2)).alias(f"v{i}")
+                for i in range(n_features)
+            ]
+        ).collect()[0]
+        std = [math.sqrt(float(srow[f"v{i}"] or 0.0)) for i in range(n_features)]
+        return cls(mean, std)
+
+    def _arrs(self):
+        m = F.array([F.lit(x) for x in self.mean])
+        s = F.array([F.lit(x) for x in self.std])
+        return m, s
+
+    def normalize(self, features: DataFrame) -> DataFrame:
+        """normFeatures: xs -> (xs - mean) / std'."""
+        m, s = self._arrs()
+        return features.withColumn(
+            "features",
+            F.zip_with(F.zip_with("features", m, lambda f, mu: f - mu), s, lambda f, sd: f / sd),
+        )
+
+    def denorm_features(self, features: DataFrame) -> DataFrame:
+        """denormFeatures: xs -> xs * std' + mean."""
+        m, s = self._arrs()
+        return features.withColumn(
+            "features",
+            F.zip_with(F.zip_with("features", s, lambda f, sd: f * sd), m, lambda f, mu: f + mu),
+        )
+
+    def denorm_weights(self, w: list[float]) -> list[float]:
+        """denormWeights: w -> w / std' — weights learned on normalized
+        features, rescaled to rank RAW features identically (up to the
+        rank-invariant per-query constant -sum(w_i*m_i/s_i))."""
+        return [float(x) / s for x, s in zip(w, self.std)]
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation (SimplIR/TrainUtils.hs:29-117)
+# ---------------------------------------------------------------------------
+
+
+def mk_sequential_folds(k: int, xs: list) -> list[list]:
+    """mkSequentialFolds (TrainUtils.hs:37-44): sequential chunks of
+    foldLen = len//k + 1 when len >= 2k (prevents overpopulating the last
+    fold), else len//k (prevents empty trailing folds); literal chunksOf
+    semantics."""
+    n = len(xs)
+    if n == 0 or k <= 0:
+        return []
+    fold_len = n // k + 1 if n >= 2 * k else max(1, n // k)
+    return [xs[i : i + fold_len] for i in range(0, n, fold_len)]
+
+
+def k_folds(train, features: DataFrame, qrels: DataFrame, fold_qids: list[list[str]]):
+    """kFolds (TrainUtils.hs:66-88): for each fold, train on every query
+    NOT in the fold and pair the result with the held-out fold's queries.
+
+    ``train(fold_idx, train_features, train_qrels)`` -> trained result.
+    Returns [(test_qids, result)] in fold order.  Filtering is a
+    Catalyst ``qid NOT IN (...)`` predicate over the cached feature
+    table — no per-fold data copies.
+    """
+    out = []
+    for fold_idx, test_qids in enumerate(fold_qids):
+        tq = [str(q) for q in test_qids]
+        train_f = features.filter(~F.col("qid").isin(tq))
+        train_q = qrels.filter(~F.col("qid").isin(tq))
+        out.append((list(test_qids), train(fold_idx, train_f, train_q)))
+    return out
+
+
+def k_folds_and_restarts(
+    train,
+    features: DataFrame,
+    qrels: DataFrame,
+    fold_qids: list[list[str]],
+    n_restarts: int,
+    seed: int = 42,
+):
+    """kFoldsAndRestarts (TrainUtils.hs:91-117): per fold, run the trainer
+    ``n_restarts`` times with independent seeded generators (the
+    reference's split StdGen chain, made explicit and deterministic as
+    seed*1000003 + fold*8191 + restart).  ``train(fold_idx, restart_idx,
+    rng_seed, train_features, train_qrels)``.  Returns
+    [(test_qids, [result per restart])].
+    """
+
+    def train_restarts(fold_idx, train_f, train_q):
+        return [
+            train(fold_idx, r, seed * 1_000_003 + fold_idx * 8191 + r, train_f, train_q)
+            for r in range(n_restarts)
+        ]
+
+    return k_folds(train_restarts, features, qrels, fold_qids)
+
+
+def k_fold_cross_validate(
+    spark: SparkSession,
+    features: DataFrame,
+    qrels: DataFrame,
+    n_features: int,
+    k: int = 5,
+    n_iters: int = 2,
+    n_restarts: int = 1,
+    seed: int = 42,
+    eval_cutoff: int | None = None,
+    normalize: bool = True,
+) -> dict:
+    """Full CV harness: sequential folds over the sorted distinct qids,
+    per-fold coordinate ascent (restart 0 starts from all-ones — the
+    reference's deterministic start; later restarts draw a seeded random
+    init), best-by-train-MAP restart selected, held-out MAP computed per
+    fold, and an overall CV MAP over the union of held-out rankings
+    (each query ranked by the one model that never saw it — the
+    concatenated-test-rankings evaluation the reference's CV harness
+    feeds to trec-eval).
+
+    Returns {"folds": [{fold, test_qids, weights, train_map, test_map}],
+    "cv_map": float}.  Weights are de-normalized (applicable to raw
+    features) when ``normalize``.
+    """
+    import numpy as np
+
+    features = features.cache()
+    qids = sorted(str(r["qid"]) for r in features.select("qid").distinct().collect())
+    folds = mk_sequential_folds(k, qids)
+    norm = ZNormalizer.fit(features, n_features) if normalize else None
+    nfeatures = norm.normalize(features).cache() if norm else features
+
+    def train(fold_idx, restart_idx, rng_seed, train_f, train_q):
+        if restart_idx == 0:
+            init = [1.0] * n_features
+        else:
+            rng = np.random.RandomState(rng_seed % (2**32))
+            init = rng.uniform(-1.0, 1.0, size=n_features).tolist()
+            if all(x == 0.0 for x in init):  # measure-zero guard
+                init = [1.0] * n_features
+        return coordinate_ascent(
+            spark, train_f, train_q, n_features,
+            n_iters=n_iters, init=init, eval_cutoff=eval_cutoff,
+        )
+
+    results = k_folds_and_restarts(
+        train, nfeatures, qrels, folds, n_restarts, seed=seed
+    )
+    fold_rows = []
+    test_maps = []
+    weights_sum = 0.0
+    for fold_idx, (test_qids, restarts) in enumerate(results):
+        w, train_map = max(restarts, key=lambda wm: wm[1])
+        test_f = nfeatures.filter(F.col("qid").isin(test_qids))
+        test_q = qrels.filter(F.col("qid").isin(test_qids))
+        test_map = weighted_map(test_f, test_q, w)
+        test_maps.append((len(test_qids), test_map))
+        fold_rows.append(
+            {
+                "fold": fold_idx,
+                "test_qids": test_qids,
+                "weights": norm.denorm_weights(w) if norm else w,
+                "train_map": train_map,
+                "test_map": test_map,
+            }
+        )
+        weights_sum += sum(abs(x) for x in w)
+    # MAP is a per-query mean, so the concatenated held-out evaluation is
+    # the query-count-weighted mean of per-fold test MAPs (every query
+    # appears in exactly one fold)
+    n_q = sum(n for n, _ in test_maps)
+    cv_map = sum(n * m for n, m in test_maps) / n_q if n_q else 0.0
+    if norm:
+        nfeatures.unpersist()
+    features.unpersist()
+    return {"folds": fold_rows, "cv_map": cv_map}
+
+
+# ---------------------------------------------------------------------------
+# Model serialization (SimplIR/LearningToRankWrapper.hs:55-83, Learn2Rank.hs)
+# ---------------------------------------------------------------------------
+
+
+def save_model(path: str, names: list[str], weights: list[float]) -> None:
+    """Model ToJSON (LearningToRankWrapper.hs:67-71): the learned weight
+    vector as a named-feature JSON object."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({n: float(w) for n, w in zip(names, weights)}, f, indent=1, sort_keys=True)
+
+
+def load_model(path: str) -> tuple[list[str], list[float]]:
+    """Model FromJSON (LearningToRankWrapper.hs:72-83): feature names are
+    sorted into a canonical feature space (FS.mkFeatureSpace sorts the
+    name set), weights aligned to that order."""
+    import json
+
+    with open(path) as f:
+        obj = json.load(f)
+    names = sorted(obj)
+    return names, [float(obj[n]) for n in names]
+
+
+def rerank_with_model(
+    features: DataFrame,
+    names: list[str],
+    weights: list[float],
+    feature_order: list[str],
+    k: int | None = None,
+) -> DataFrame:
+    """rerankRankings (LearningToRankWrapper.hs:215-224): score = w.f over
+    a (qid, doc, features) table whose array positions follow
+    ``feature_order``; rank per query by (-score, doc).  Raises when the
+    model needs a feature the table lacks (Learn2Rank.hs predict's "bad
+    features" check)."""
+    missing = set(names) - set(feature_order)
+    if missing:
+        raise ValueError(f"features missing from input: {sorted(missing)}")
+    aligned = [weights[names.index(f)] if f in names else 0.0 for f in feature_order]
+    w_arr = F.array([F.lit(float(x)) for x in aligned])
+    scored = features.select(
+        F.col("qid").alias("query_id"),
+        "doc",
+        F.aggregate(
+            F.zip_with("features", w_arr, lambda f, w: f * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc"))
+    out = scored.withColumn("rank", F.row_number().over(w_rank))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out

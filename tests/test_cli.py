@@ -104,3 +104,75 @@ def test_load_corpus_jsonl(spark, tmp_path_factory):
                              "lang": "rs", "content": "gamma delta"}) + "\n")
     rows = {r.doc_key: r.content for r in load_corpus(spark, p).collect()}
     assert rows == {"r1/a.py@c1": "alpha beta", "r2/b.rs@c2": "gamma delta"}
+
+
+def test_cli_learn_and_rerank(spark, tmp_path_factory, capsys):
+    """Learn2Rank.hs train/predict split: learn a model from feature run
+    files + qrels, save as named-feature JSON, rerank with it via the CLI."""
+    base = tmp_path_factory.mktemp("l2r")
+
+    # two feature run files over the same (qid, doc) set: "good" scores
+    # relevant docs high, "bad" is anti-correlated
+    docs = [f"d{i}" for i in range(6)]
+    rel = {"d0", "d1"}
+    for name, flip in (("good", False), ("bad", True)):
+        lines = []
+        for q in ("q1", "q2"):
+            scored = sorted(
+                docs,
+                key=lambda d: -( (d in rel) != flip ),
+            )
+            for rk, d in enumerate(scored, 1):
+                val = (1.0 if (d in rel) != flip else 0.0) + 0.01 * int(d[1])
+                lines.append(f"{q} Q0 {d} {rk} {val} {name}")
+        (base / f"{name}.run").write_text("\n".join(lines) + "\n")
+    qrels = base / "qrels.txt"
+    qrels.write_text("\n".join(f"{q} 0 {d} 1" for q in ("q1", "q2") for d in sorted(rel)) + "\n")
+
+    model = str(base / "model.json")
+    cli.main([
+        "learn", "-o", model, "-q", str(qrels),
+        f"good={base}/good.run", f"bad={base}/bad.run", "--iters", "2",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["map"] == pytest.approx(1.0, abs=1e-9)
+    m = json.load(open(model))
+    assert set(m) == {"good", "bad"}
+    assert m["good"] > m["bad"]  # informative feature upweighted
+
+    run_out = str(base / "reranked")
+    cli.main([
+        "rerank", "-m", model, "--out", run_out,
+        f"good={base}/good.run", f"bad={base}/bad.run", "--k", "3",
+    ])
+    from simplir_spark.sources.trec import read_trec_run
+
+    rr = read_trec_run(spark, run_out).collect()
+    for q in ("q1", "q2"):
+        top = sorted((r for r in rr if r.qid == q), key=lambda r: r.rank)
+        assert {top[0].doc, top[1].doc} == rel, top
+
+
+def test_cli_learn_with_folds(tmp_path_factory, capsys):
+    """--folds k reports the held-out CV MAP alongside the full-train MAP."""
+    base = tmp_path_factory.mktemp("l2rcv")
+    docs = [f"d{i}" for i in range(6)]
+    rel = {"d0", "d1"}
+    lines = []
+    for q in ("q1", "q2", "q3", "q4"):
+        for rk, d in enumerate(docs, 1):
+            val = (1.0 if d in rel else 0.0) + 0.01 * int(d[1])
+            lines.append(f"{q} Q0 {d} {rk} {val} f")
+    (base / "f.run").write_text("\n".join(lines) + "\n")
+    qrels = base / "qrels.txt"
+    qrels.write_text(
+        "\n".join(f"{q} 0 {d} 1" for q in ("q1", "q2", "q3", "q4") for d in sorted(rel)) + "\n"
+    )
+    model = str(base / "model.json")
+    cli.main([
+        "learn", "-o", model, "-q", str(qrels), f"f={base}/f.run",
+        "--iters", "1", "--folds", "2",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cv_map"] == pytest.approx(1.0, abs=1e-9)
+    assert len(out["fold_test_maps"]) == 2
