@@ -3,11 +3,12 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extraction / resize / frame-sampling run as
 Arrow-vectorized ``mapInPandas`` so each batch of payloads hits the
-(vectorized) decoder once.  The actual codecs (PIL/libav) are NOT in this
-container — the decode kernel is stubbed behind ``SIMPLIR_FAKE_DECODE``:
-with the env var set (tests) a deterministic fake decoder exercises the
-full Spark plumbing (schema, batching, partitioning); without it the
-operator raises NotImplementedError at first batch, making the stub
+(vectorized) decoder once.  General-purpose codecs (PIL/libav) are NOT in
+this container; decode resolution is: deterministic fake when
+``SIMPLIR_FAKE_DECODE=1`` (the oracle-checked default in tests/contract),
+else a REAL decoder for supported formats (uncompressed 24-bit BMP in
+pure numpy — functions/imagecodec.py — plus any PIL format when PIL is
+importable), else NotImplementedError at first batch, keeping the stub
 explicit rather than silently wrong.
 
 Scale notes: payload batches are bounded by
@@ -73,17 +74,34 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """binary payloads -> per-item feature vectors via mapInPandas."""
+    """binary payloads -> per-item feature vectors via mapInPandas.
+
+    Decode resolution order: the deterministic fake when
+    SIMPLIR_FAKE_DECODE=1 (the oracle-checked default in tests/contract),
+    else a REAL decode for supported formats (24-bit BMP in pure numpy;
+    any PIL format when PIL is importable — see functions/imagecodec.py),
+    else NotImplementedError — the stub stays explicit, never silently
+    wrong."""
     fake = os.environ.get("SIMPLIR_FAKE_DECODE") == "1"
+
+    def _real_features(payload: bytes) -> list[float]:
+        from simplir_spark.functions.imagecodec import image_features, try_decode_image
+
+        rgb = try_decode_image(payload)
+        if rgb is None:
+            raise NotImplementedError(
+                "no decoder for this payload (pure-numpy BMP is built in; other "
+                "formats need PIL/libav, not in this container); set "
+                "SIMPLIR_FAKE_DECODE=1 for the deterministic test path"
+            )
+        return image_features(rgb, dim)
 
     def kernel(batches):
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decoding requires PIL/libav (not in this container); "
-                    "set SIMPLIR_FAKE_DECODE=1 for the deterministic test path"
-                )
-            feats = [_fake_decode_features(bytes(p), dim) for p in pdf["payload"]]
+            if fake:
+                feats = [_fake_decode_features(bytes(p), dim) for p in pdf["payload"]]
+            else:
+                feats = [_real_features(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -131,34 +149,50 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image-resize plumbing: payload -> resized payload + updated meta.
 
-    The pixel transform is stubbed like extract_features (PIL is not in
-    this container); the Spark-side contract is real: batched binary in /
-    binary out, metadata struct rewritten to the target dimensions, and
-    the deterministic fake payload (md5(payload || WxH), repeated to a
-    size that scales with the target area) keeps output-size accounting
-    testable.  Non-image rows pass through unchanged.
+    With SIMPLIR_FAKE_DECODE=1 the pixel transform is the deterministic
+    fake (md5(payload || WxH) tiled to the target area — the
+    oracle-checked default); otherwise BMP payloads go through the REAL
+    pure-numpy path (decode -> nearest-neighbor resample -> re-encode
+    BMP, functions/imagecodec.py) and unsupported formats raise.  Either
+    way the Spark-side contract is the same: batched binary in / binary
+    out, metadata struct rewritten to the target dimensions.  Non-image
+    rows pass through unchanged.
     """
     fake = os.environ.get("SIMPLIR_FAKE_DECODE") == "1"
 
+    def _real_resize(payload: bytes) -> bytes:
+        from simplir_spark.functions.imagecodec import (
+            bmp_encode,
+            resize_nearest,
+            try_decode_image,
+        )
+
+        rgb = try_decode_image(payload)
+        if rgb is None:
+            raise NotImplementedError(
+                "no decoder for this payload (pure-numpy BMP is built in; other "
+                "formats need PIL, not in this container); set "
+                "SIMPLIR_FAKE_DECODE=1 for the deterministic test path"
+            )
+        return bmp_encode(resize_nearest(rgb, width, height))
+
     def kernel(batches):
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decoding requires PIL (not in this container); "
-                    "set SIMPLIR_FAKE_DECODE=1 for the deterministic test path"
-                )
             out_payload, out_meta = [], []
             for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
                 if kind != "image":
                     out_payload.append(bytes(payload))
                     out_meta.append(meta)
                     continue
-                seed = hashlib.md5(
-                    bytes(payload) + f"{width}x{height}".encode()
-                ).digest()
-                # fake 'pixels': digest tiled to ~3 bytes/pixel of the target
-                n = max(1, (width * height * 3) // len(seed))
-                out_payload.append((seed * n)[: width * height * 3])
+                if fake:
+                    seed = hashlib.md5(
+                        bytes(payload) + f"{width}x{height}".encode()
+                    ).digest()
+                    # fake 'pixels': digest tiled to ~3 bytes/pixel of target
+                    n = max(1, (width * height * 3) // len(seed))
+                    out_payload.append((seed * n)[: width * height * 3])
+                else:
+                    out_payload.append(_real_resize(bytes(payload)))
                 m = dict(meta or {})
                 m["width"], m["height"] = width, height
                 out_meta.append(m)
