@@ -499,14 +499,11 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_l2r_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coordinate-ascent L2R over (bm25, tfidf, doc_len) features with the
-    deterministic contains-all-terms qrels.  Iterative MAP maximization is
-    not SQL-expressible -> rows-only checked; behavior is asserted in
-    tests/test_phrase_ltr_agreement.py."""
-    from simplir_spark.operators.ltr import coordinate_ascent
-
-    run, qrels = _run_and_qrels(spark, sf_dir)
+def _l2r_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, doc, [bm25, tfidf, doc_len]) — the shared L2R feature table:
+    outer join of the bm25 and tfidf top-k runs, doc_len attached, absent
+    features 0-filled (toDocFeatures' over run files,
+    LearningToRankWrapper.hs:92-113)."""
     bm25 = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP).select(
         F.col("query_id").alias("qid"), F.col("doc_key").cast("string").alias("doc"),
         F.col("score").alias("f_bm25"),
@@ -518,16 +515,62 @@ def q_l2r_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = _tokenized_docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc"), F.col("doc_len").cast("double").alias("f_dl")
     )
-    features = (
+    return (
         bm25.join(tfidf, ["qid", "doc"], "outer")
         .join(dl, "doc", "left")
         .fillna(0.0)
         .select("qid", "doc", F.array("f_bm25", "f_tfidf", "f_dl").alias("features"))
     )
+
+
+def q_l2r_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate-ascent L2R over (bm25, tfidf, doc_len) features with the
+    deterministic contains-all-terms qrels.  Iterative MAP maximization is
+    not SQL-expressible -> rows-only checked; behavior is asserted in
+    tests/test_phrase_ltr_agreement.py."""
+    from simplir_spark.operators.ltr import coordinate_ascent
+
+    run, qrels = _run_and_qrels(spark, sf_dir)
+    features = _l2r_features(spark, sf_dir)
     w, m = coordinate_ascent(spark, features, qrels, n_features=3, n_iters=1)
     return spark.createDataFrame(
         [(i, round(float(x), DP), round(m, DP)) for i, x in enumerate(w)],
         "feature_ix int, weight double, map double",
+    )
+
+
+def q_l2r_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """featureMeanDev over the L2R feature table (Normalise.hs:35-50):
+    per-feature population mean and std as DataFrame aggregates, the
+    uniform-feature guard applied downstream (ZNormalizer).  Fully
+    SQL-expressible -> oracle-checked."""
+    from simplir_spark.operators.ltr import ZNormalizer
+
+    z = ZNormalizer.fit(_l2r_features(spark, sf_dir), 3)
+    return spark.createDataFrame(
+        [(i, round(z.mean[i], DP), round(z.std[i], DP)) for i in range(3)],
+        "feature_ix int, mean double, std double",
+    )
+
+
+def q_l2r_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold cross-validation (TrainUtils.hs kFolds + zNormalizer): per
+    fold, train on the complement, evaluate on the held-out queries;
+    deterministic sequential folds.  Iterative -> rows-only checked;
+    fold semantics are behavior-tested in tests."""
+    from simplir_spark.operators.ltr import k_fold_cross_validate
+
+    _, qrels = _run_and_qrels(spark, sf_dir)
+    cv = k_fold_cross_validate(
+        spark, _l2r_features(spark, sf_dir), qrels, n_features=3, k=2, n_iters=1
+    )
+    return spark.createDataFrame(
+        [
+            (f["fold"], len(f["test_qids"]), round(f["train_map"], DP),
+             round(f["test_map"], DP), round(cv["cv_map"], DP))
+            for f in cv["folds"]
+        ],
+        "fold int, n_test_qids int, train_map double, test_map double, cv_map double",
     )
 
 
@@ -799,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohen_kappa": q_cohen_kappa,
         "fleiss_kappa": q_fleiss_kappa,
         "l2r_weights": q_l2r_weights,
+        "l2r_znorm": q_l2r_znorm,
+        "l2r_kfold": q_l2r_kfold,
         "token_counts": q_token_counts,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -915,6 +960,50 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk"] = _BM25_TOPK_SQL
     sql["bm25_topk_indexed"] = _BM25_TOPK_SQL
     # indexed QL shares the scan path's oracle (rank-identity through the index)
+
+    # featureMeanDev over the L2R feature table: bm25 topk FULL OUTER JOIN
+    # tfidf topk, doc_len attached, absent features 0-filled; population
+    # mean/std per feature (Normalise.hs:35-50), two-pass like the engine
+    sql["l2r_znorm"] = f"""
+    WITH {_TOK}, {_BM25_SCORED},
+    bm25r AS (
+      SELECT query_id, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+      ) WHERE rk <= {K}
+    ),
+    tscored AS (
+      SELECT q.query_id, tf.doc_id,
+        round(sum(tf.tf * ln(s.n / (1.0 + df.df))), 6) AS score
+      FROM (VALUES {_values_q(QUERIES)}) q(query_id, term)
+      JOIN tf USING (term) JOIN df USING (term) CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    tfidfr AS (
+      SELECT query_id, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        FROM tscored
+      ) WHERE rk <= {K}
+    ),
+    feat AS (
+      SELECT coalesce(b.score, 0.0) AS f1, coalesce(t.score, 0.0) AS f2,
+             CAST(dl.dl AS DOUBLE) AS f3
+      FROM bm25r b FULL OUTER JOIN tfidfr t
+        ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+      JOIN doclen dl ON dl.doc_id = coalesce(b.doc_id, t.doc_id)
+    ),
+    m AS (SELECT avg(f1) AS m1, avg(f2) AS m2, avg(f3) AS m3 FROM feat),
+    v AS (
+      SELECT avg(pow(f1 - m.m1, 2)) AS v1, avg(pow(f2 - m.m2, 2)) AS v2,
+             avg(pow(f3 - m.m3, 2)) AS v3
+      FROM feat, m
+    )
+    SELECT 0 AS feature_ix, round(m1, 6) AS mean, round(sqrt(v1), 6) AS std FROM m, v
+    UNION ALL SELECT 1, round(m2, 6), round(sqrt(v2), 6) FROM m, v
+    UNION ALL SELECT 2, round(m3, 6), round(sqrt(v3), 6) FROM m, v
+    """
 
     sql["tfidf_topk"] = f"""
     WITH {_TOK},
