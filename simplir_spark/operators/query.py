@@ -31,8 +31,13 @@ from simplir_spark.functions.scoring import (
     ql_nosmoothing_term_score,
     tfidf_term_score,
 )
+from simplir_spark.cacheutil import CacheRegistry
 from simplir_spark.functions.tokenize import with_tokens
 from simplir_spark.operators.stats import doc_term_tfs, term_stats
+
+# Bounded eviction for the per-call pairs/stats caches: repeated scan
+# queries in one session previously leaked a cached dataset per call.
+_scan_caches = CacheRegistry(retain=4)
 
 
 def queries_df(spark: SparkSession, queries: list[tuple[str, list[str]]]) -> DataFrame:
@@ -81,6 +86,7 @@ def bm25_scan(
     # passes (stats fold, then scoring fold); Spark doesn't need to.
     tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len")
     pairs = doc_term_tfs(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
+    _scan_caches.register(pairs)
 
     doc_count = corpus.count()
     tc_row = pairs.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tc")).collect()[0]
@@ -100,6 +106,7 @@ def bm25_scan(
     # background-stats memoization (Search.hs:253-260); filtering pairs by
     # term first leaves cf/df values identical to the full aggregation.
     ts = term_stats(pairs.join(F.broadcast(qdf.select("term").distinct()), "term")).cache()
+    _scan_caches.register(ts)
 
     matched = (
         pairs.join(F.broadcast(qdf), "term")

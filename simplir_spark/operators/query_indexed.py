@@ -197,6 +197,160 @@ def score_query_runs(
     return cand_dids[sel], cand_scores[sel]
 
 
+def score_query_runs_ql(
+    runs: pd.DataFrame,
+    term_w: dict,
+    term_bg: dict,
+    mu: float,
+    k: int,
+    did_lo: int,
+    did_hi: int,
+    decode_counter: list | None = None,
+    theta0: float = -np.inf,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dirichlet-QL DAAT scoring with block-max run skipping — the QL
+    analog of ``score_query_runs``.
+
+    Decomposition (see ``ql_dirichlet_indexed``):
+        score(d) = C0 + corr(d) - Q * ln(dl_d + mu)
+    where every per-term corr contribution is STRICTLY POSITIVE
+    (w*(ln(tf+mu*bg)-ln(mu*bg)) > 0 for tf >= 1), so a seen doc's partial
+    score is a valid lower bound of its final score and the BM25-style
+    threshold logic transfers:
+      * per-term upper bound ub_t = w_t*(ln(max_tf_t+mu*bg_t)-ln(mu*bg_t));
+      * terms processed in descending ub order; rest = ub of the current
+        and all later terms;
+      * an UNSEEN doc's best case is C0 + rest - Q*ln(0+mu) (dl >= 0), so
+        runs not overlapping live candidates are skipped only when
+        theta > that bound STRICTLY (exact ties stay decodable — the same
+        b=0-style tie rule as BM25);
+      * a seen doc stays live while partial + rest >= theta (its dl is
+        known, the normalization is already in the partial).
+
+    Terms with cf = 0 (bg = 0) make matched docs lacking them score -inf,
+    which breaks the partial-is-a-lower-bound invariant — pruning is
+    DISABLED for such queries (decode everything; results unchanged).
+
+    ``theta0`` is an external score floor (any valid lower bound on the
+    global k-th final score, e.g. another shard's k-th) — it engages
+    pruning from the first term, exactly as in ``score_query_runs``.
+
+    Returns (dids, scores) of the shard-local top-k; ``decode_counter``
+    (tests) receives [decoded_runs, total_runs].
+    """
+    import math
+
+    if len(runs) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+
+    q_terms = sorted(term_w)
+    c0 = 0.0
+    q_total = 0.0
+    for t in q_terms:
+        w = term_w[t]
+        q_total += w
+        if term_bg.get(t, 0.0) > 0:
+            c0 += w * math.log(mu * term_bg[t])
+    cf0_terms = [t for t in q_terms if term_bg.get(t, 0.0) <= 0]
+    pruning_ok = not cf0_terms
+
+    terms = runs["term"].to_numpy()
+    uniq_terms = pd.unique(runs["term"])
+    ub_by_term = {}
+    base_by_term = {}
+    for t in uniq_terms:
+        m = terms == t
+        bg = term_bg.get(t, 0.0)
+        w = term_w[t]
+        base_by_term[t] = math.log(mu * bg) if bg > 0 else 0.0
+        max_tf = float(runs.loc[m, "max_tf"].max())
+        if bg > 0:
+            ub_by_term[t] = w * (math.log(max_tf + mu * bg) - base_by_term[t])
+        else:
+            # unused when pruning is disabled, but keep it a finite bound
+            ub_by_term[t] = w * max(math.log(max(max_tf, 1.0)), 0.0)
+
+    order = sorted(uniq_terms, key=lambda t: -ub_by_term[t])
+    rest_after = {}
+    acc = 0.0
+    for t in reversed(order):
+        acc += ub_by_term[t]
+        rest_after[t] = acc
+
+    span = did_hi - did_lo
+    corr = np.zeros(span)
+    dl_arr = np.zeros(span, dtype=np.int64)
+    seen = np.zeros(span, dtype=bool)
+    cf0_seen = np.zeros(span, dtype=np.int32)
+    seen_count = 0
+    decoded = 0
+    total = len(runs)
+    unseen_norm = q_total * math.log(mu)  # dl >= 0 maximizes -Q*ln(dl+mu)
+
+    for t in order:
+        rest = rest_after[t]
+        trun = runs[terms == t].sort_values("start_did")
+        w = term_w[t]
+        bg = term_bg.get(t, 0.0)
+        base = base_by_term[t]
+
+        if not pruning_ok or (seen_count < k and theta0 == -np.inf):
+            decode_mask = np.ones(len(trun), dtype=bool)
+        else:
+            ix = np.nonzero(seen)[0]
+            cand_scores = c0 + corr[ix] - q_total * np.log(dl_arr[ix] + mu)
+            theta = (
+                max(float(np.partition(cand_scores, -k)[-k]), theta0)
+                if len(ix) >= k
+                else theta0
+            )
+            if theta <= c0 + rest - unseen_norm:
+                decode_mask = np.ones(len(trun), dtype=bool)
+            else:
+                live = (ix + did_lo)[cand_scores + rest >= theta]
+                starts = trun["start_did"].to_numpy(dtype=np.int64)
+                ends = trun["end_did"].to_numpy(dtype=np.int64)
+                if len(live) == 0:
+                    decode_mask = np.zeros(len(trun), dtype=bool)
+                else:
+                    lo_i = np.searchsorted(live, starts, side="left")
+                    hi_i = np.searchsorted(live, ends, side="right")
+                    decode_mask = hi_i > lo_i
+
+        for row, dec in zip(trun.itertuples(index=False), decode_mask):
+            if not dec:
+                continue
+            decoded += 1
+            dids, tfs, dls = codec.decode_run(row.start_did, row.n, row.deltas, row.tfs, row.dls)
+            m = (dids >= did_lo) & (dids < did_hi)
+            if not m.any():
+                continue
+            off = dids[m] - did_lo
+            tf = tfs[m].astype(np.float64)
+            if bg > 0:
+                corr[off] += w * (np.log(tf + mu * bg) - base)
+            else:
+                corr[off] += w * np.log(tf)
+                cf0_seen[off] += 1
+            dl_arr[off] = dls[m]
+            new = ~seen[off]
+            seen_count += int(np.count_nonzero(new))
+            seen[off] = True
+
+    if decode_counter is not None:
+        decode_counter[:] = [decoded, total]
+
+    ix = np.nonzero(seen)[0]
+    if len(ix) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    scores = c0 + corr[ix] - q_total * np.log(dl_arr[ix] + mu)
+    if cf0_terms:
+        scores = np.where(cf0_seen[ix] == len(cf0_terms), scores, float("-inf"))
+    dids_out = ix + did_lo
+    sel = np.lexsort((dids_out, -scores))[:k]
+    return dids_out[sel], scores[sel]
+
+
 def ql_dirichlet_indexed(
     spark: SparkSession,
     index: IndexHandle,
@@ -204,6 +358,7 @@ def ql_dirichlet_indexed(
     k: int = 10,
     mu: float = 1000.0,
     n_shards: int | None = None,
+    seed_threshold: bool | None = None,
 ) -> DataFrame:
     """Dirichlet-smoothed query likelihood over the inverted index — the
     index is retrieval-model-generic like the reference's SimpleIndex
@@ -222,9 +377,12 @@ def ql_dirichlet_indexed(
     ln((tf + mu*bg)/(dl + mu)) (QueryLikelihood.hs:58-62).  Terms with
     cf = 0 have probability 0: every matched doc lacking them scores
     -inf; docs containing them fall back to ln(tf/(dl+mu)).
-    """
-    import math
 
+    Block-max run skipping (``score_query_runs_ql``): per-term upper
+    bounds on the positive corr contributions drive the same DAAT
+    threshold pruning as BM25 — disabled automatically for queries with
+    cf=0 terms, where -inf finals break the partial-score lower bound.
+    """
     qdf = queries_df(spark, queries)
     doc_count, token_count = index.doc_count, index.token_count
     if n_shards is None:
@@ -256,70 +414,70 @@ def ql_dirichlet_indexed(
                 )
             ),
         )
-        .select("query_id", "shard", "term", "start_did", "n", "deltas", "tfs", "dls")
+        .select(
+            "query_id", "shard", "term", "start_did", "end_did", "n", "max_tf",
+            "deltas", "tfs", "dls",
+        )
     )
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = pdf["query_id"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        lo, hi = shard * span, min((shard + 1) * span, max(doc_count, 1))
-        width = max(hi - lo, 1)
-        corr = np.zeros(width)
-        dl_arr = np.zeros(width, dtype=np.int64)
-        seen = np.zeros(width, dtype=bool)
-        cf0_seen = np.zeros(width, dtype=np.int32)
-        terms_q = q_term_lists[qid]
-        # terms with cf=0 have background probability 0: a doc missing one
-        # scores -inf (Log-Double zero); a doc containing it contributes
-        # the direct w*ln(tf) (no background to decompose against)
-        cf0_needed = sum(1 for t in terms_q if cf_by_term.get(t, 0) == 0)
-        c0 = 0.0
-        q_total = 0.0
-        for t in terms_q:
-            w = qtf[(qid, t)]
-            q_total += w
-            bg = cf_by_term.get(t, 0) / token_count if token_count else 0.0
-            if bg > 0:
-                c0 += w * math.log(mu * bg)
-        for t in terms_q:
-            w = qtf[(qid, t)]
-            bg = cf_by_term.get(t, 0) / token_count if token_count else 0.0
-            trun = pdf[pdf["term"] == t]
-            base = math.log(mu * bg) if bg > 0 else 0.0
-            for row in trun.itertuples(index=False):
-                dids, tfs, dls = codec.decode_run(
-                    row.start_did, row.n, row.deltas, row.tfs, row.dls
-                )
-                m = (dids >= lo) & (dids < hi)
-                if not m.any():
-                    continue
-                off = dids[m] - lo
-                tf = tfs[m].astype(np.float64)
-                if bg > 0:
-                    corr[off] += w * (np.log(tf + mu * bg) - base)
-                else:
-                    corr[off] += w * np.log(tf)
-                    cf0_seen[off] += 1
-                dl_arr[off] = dls[m]
-                seen[off] = True
-        ix = np.nonzero(seen)[0]
-        if len(ix) == 0:
-            return pd.DataFrame({"query_id": [], "did": [], "score": []}).astype(
-                {"query_id": str, "did": np.int64, "score": np.float64}
+    def make_score_group(theta0_map: dict):
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = pdf["query_id"].iloc[0]
+            shard = int(pdf["shard"].iloc[0])
+            lo, hi = shard * span, min((shard + 1) * span, max(doc_count, 1))
+            terms_q = q_term_lists[qid]
+            term_w = {t: float(qtf[(qid, t)]) for t in terms_q}
+            term_bg = {
+                t: (cf_by_term.get(t, 0) / token_count if token_count else 0.0)
+                for t in terms_q
+            }
+            dids_out, scores = score_query_runs_ql(
+                pdf, term_w, term_bg, mu, k, lo, max(hi, lo + 1),
+                theta0=theta0_map.get(qid, -np.inf),
             )
-        scores = c0 + corr[ix] - q_total * np.log(dl_arr[ix] + mu)
-        if cf0_needed:
-            scores = np.where(cf0_seen[ix] == cf0_needed, scores, float("-inf"))
-        dids_out = ix + lo
-        sel = np.lexsort((dids_out, -scores))[:k]
-        return pd.DataFrame(
-            {"query_id": qid, "did": dids_out[sel], "score": scores[sel]}
-        )
+            if len(dids_out) == 0:
+                return pd.DataFrame({"query_id": [], "did": [], "score": []}).astype(
+                    {"query_id": str, "did": np.int64, "score": np.float64}
+                )
+            return pd.DataFrame({"query_id": qid, "did": dids_out, "score": scores})
+
+        return score_group
 
     from pyspark.sql import Window
 
+    group_schema = "query_id string, did long, score double"
+    # Cross-shard theta seeding (same design + auto-gate as bm25_indexed):
+    # a seed pass on each query's densest shard yields a global k-th lower
+    # bound that deepens every other shard's pruning.  Gated at >= 8
+    # shards — below that the extra seed job's fixed cost outweighs the
+    # decode savings (measured on the BM25 path).
+    theta0_by_query: dict[str, float] = {}
+    if seed_threshold is None:
+        seed_threshold = n_shards >= 8
+    if seed_threshold and n_shards > 1:
+        mass = matched.groupBy("query_id", "shard").agg(F.sum("n").alias("_mass"))
+        w0 = Window.partitionBy("query_id").orderBy(F.desc("_mass"), F.asc("shard"))
+        seed_sel = (
+            mass.withColumn("_r", F.row_number().over(w0))
+            .filter(F.col("_r") == 1)
+            .select("query_id", "shard")
+        )
+        seed_local = (
+            matched.join(F.broadcast(seed_sel), ["query_id", "shard"])
+            .groupBy("query_id", "shard")
+            .applyInPandas(make_score_group({}), group_schema)
+        )
+        for r in (
+            seed_local.filter(~F.isnan("score") & (F.col("score") > float("-inf")))
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("c"), F.min("score").alias("mn"))
+            .collect()
+        ):
+            if int(r["c"]) >= k:
+                theta0_by_query[r["query_id"]] = float(r["mn"])
+
     local_topk = matched.groupBy("query_id", "shard").applyInPandas(
-        score_group, "query_id string, did long, score double"
+        make_score_group(theta0_by_query), group_schema
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("did"))
     topk = (

@@ -847,3 +847,130 @@ def test_bucket_expr_selects_sqrt_form_past_threshold(spark):
     small = big[: _BUCKET_SQRT_MIN - 1]
     assert "element_at" in repr(bucket_expr("k", big))
     assert "element_at" not in repr(bucket_expr("k", small))
+
+
+def test_ql_blockmax_pruning_skips_runs_and_preserves_topk():
+    """QL DAAT pruning (score_query_runs_ql): a rare high-impact term
+    drives theta above the unseen-doc bound, so common-term runs not
+    overlapping live candidates are skipped — result identical to full
+    decode, strictly fewer runs decoded."""
+    from simplir_spark.operators.query_indexed import score_query_runs_ql
+
+    rng = np.random.RandomState(7)
+    n_docs, run_size = 5000, 128
+    rows = []
+    for term, df_sel, tf_hi in [("common", np.arange(n_docs), 3), ("rare", np.arange(0, 200, 10), 50)]:
+        dids = np.asarray(df_sel, dtype=np.int64)
+        tfs = rng.randint(1, tf_hi + 1, size=len(dids)).astype(np.int64)
+        dls = np.full(len(dids), 100, dtype=np.int64)
+        for s in range(0, len(dids), run_size):
+            e = min(s + run_size, len(dids))
+            run = codec.encode_run(dids[s:e], tfs[s:e], dls[s:e])
+            rows.append({"term": term, **run})
+    runs = pd.DataFrame(rows)
+    term_w = {"common": 1.0, "rare": 1.0}
+    term_bg = {"common": 0.01, "rare": 0.0001}
+
+    cnt = [0, 0]
+    d1, s1 = score_query_runs_ql(runs, term_w, term_bg, 1000.0, 10, 0, n_docs, decode_counter=cnt)
+    d2, s2 = score_query_runs_ql(runs, term_w, term_bg, 1000.0, n_docs, 0, n_docs)
+    top_full = sorted(zip(-s2, d2))[:10]
+    assert d1.tolist() == [int(d) for _, d in top_full]
+    np.testing.assert_allclose(s1, [-s for s, _ in top_full], rtol=1e-12)
+    assert cnt[0] < cnt[1], f"no pruning happened: {cnt}"
+
+
+def test_ql_pruning_disabled_for_cf0_terms():
+    """A query term with cf=0 makes matched docs lacking it score -inf —
+    the partial-score lower bound breaks, so pruning must disable itself
+    (every run decoded) and the -inf semantics hold."""
+    from simplir_spark.operators.query_indexed import score_query_runs_ql
+
+    n_docs = 1000
+    rows = []
+    for term, dids in [("a", np.arange(0, n_docs, 2)), ("ghost", np.arange(0, 100, 5))]:
+        dids = dids.astype(np.int64)
+        tfs = np.full(len(dids), 2, dtype=np.int64)
+        dls = np.full(len(dids), 50, dtype=np.int64)
+        run = codec.encode_run(dids, tfs, dls)
+        rows.append({"term": term, **run})
+    runs = pd.DataFrame(rows)
+    cnt = [0, 0]
+    d, s = score_query_runs_ql(
+        runs, {"a": 1.0, "ghost": 1.0}, {"a": 0.02, "ghost": 0.0},
+        1000.0, 10, 0, n_docs, decode_counter=cnt,
+    )
+    assert cnt[0] == cnt[1], "pruning must be disabled with cf=0 terms"
+    # only docs containing BOTH a and ghost have finite scores; ghost dids
+    # are multiples of 5, docs with a are even -> finite = multiples of 10
+    finite = [int(x) for x, sc in zip(d, s) if sc > float("-inf")]
+    assert finite and all(x % 10 == 0 for x in finite)
+
+
+def test_ql_indexed_small_k_matches_scan(spark, index_dir, corpus_small):
+    """End-to-end: the pruned indexed QL path at k=10 is rank-identical to
+    scan-mode QL (pruning engaged, results invisible)."""
+    from simplir_spark.operators.query import bm25_scan
+    from simplir_spark.operators.query_indexed import ql_dirichlet_indexed
+
+    queries = [q for q in QUERIES if q[0] not in ("Q08", "Q09", "Q14")][:6]
+    idx = open_index(spark, index_dir)
+    got = ql_dirichlet_indexed(spark, idx, queries, k=10, mu=1000.0).collect()
+    want = bm25_scan(spark, corpus_small, queries, k=10, model="ql_dirichlet", mu=1000.0).collect()
+    g, w = {}, {}
+    for r in got:
+        g.setdefault(r.query_id, []).append((r.rank, r.doc_key, round(r.score, 9)))
+    for r in want:
+        w.setdefault(r.query_id, []).append((r.rank, r.doc_key, round(r.score, 9)))
+    assert set(g) == set(w)
+    for qid in g:
+        assert sorted(g[qid]) == sorted(w[qid]), qid
+
+
+def test_ql_theta0_seed_deepens_pruning_and_preserves_topk():
+    """An external theta0 (another shard's k-th score) must only DEEPEN
+    QL run skipping, never change results."""
+    from simplir_spark.operators.query_indexed import score_query_runs_ql
+
+    rng = np.random.RandomState(11)
+    n_docs, run_size = 4000, 128
+    rows = []
+    for term, df_sel, tf_hi in [("common", np.arange(n_docs), 3), ("rare", np.arange(0, 160, 8), 40)]:
+        dids = np.asarray(df_sel, dtype=np.int64)
+        tfs = rng.randint(1, tf_hi + 1, size=len(dids)).astype(np.int64)
+        dls = np.full(len(dids), 80, dtype=np.int64)
+        for s in range(0, len(dids), run_size):
+            e = min(s + run_size, len(dids))
+            rows.append({"term": term, **codec.encode_run(dids[s:e], tfs[s:e], dls[s:e])})
+    runs = pd.DataFrame(rows)
+    term_w = {"common": 1.0, "rare": 1.0}
+    term_bg = {"common": 0.02, "rare": 0.0002}
+
+    base_cnt = [0, 0]
+    d0, s0 = score_query_runs_ql(runs, term_w, term_bg, 1000.0, 10, 0, n_docs, decode_counter=base_cnt)
+    # seed theta0 with the true 10th score: valid global lower bound
+    theta0 = float(s0[-1])
+    cnt = [0, 0]
+    d1, s1 = score_query_runs_ql(
+        runs, term_w, term_bg, 1000.0, 10, 0, n_docs, decode_counter=cnt, theta0=theta0
+    )
+    assert d1.tolist() == d0.tolist()
+    np.testing.assert_allclose(s1, s0, rtol=1e-12)
+    assert cnt[0] <= base_cnt[0]
+    assert cnt[0] < cnt[1]
+
+
+def test_ql_indexed_seeded_equals_unseeded(spark, index_dir, corpus_small):
+    """End-to-end: seeded sharded QL == unseeded == scan ranking."""
+    from simplir_spark.operators.query_indexed import ql_dirichlet_indexed
+
+    queries = [q for q in QUERIES if q[0] not in ("Q08", "Q09", "Q14")][:5]
+    idx = open_index(spark, index_dir)
+    unseeded = ql_dirichlet_indexed(
+        spark, idx, queries, k=10, n_shards=8, seed_threshold=False
+    ).collect()
+    seeded = ql_dirichlet_indexed(
+        spark, idx, queries, k=10, n_shards=8, seed_threshold=True
+    ).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.doc_key, round(r.score, 9)) for r in rows)
+    assert key(seeded) == key(unseeded)
