@@ -540,3 +540,118 @@ def rerank_with_model(
     if k is not None:
         out = out.filter(F.col("rank") <= k)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Convergence combinators + the full training loop
+# (LearningToRankWrapper.hs:164-243, LearningToRank.hs:128-155)
+# ---------------------------------------------------------------------------
+
+
+def rel_change(a: float, b: float) -> float:
+    """relChange (LearningToRankWrapper.hs:212): |a-b| / |b|."""
+    return abs(a - b) / abs(b)
+
+
+def until_converged(conv, iterates):
+    """untilConverged (LearningToRankWrapper.hs:228-234): emit iterates
+    until ``conv(prev, cur)`` holds for an adjacent pair — both elements
+    of the converged pair are emitted, then the stream stops."""
+    prev = None
+    first = True
+    for x in iterates:
+        yield x
+        if not first and conv(prev, x):
+            return
+        prev, first = x, False
+
+
+def rel_change_below(threshold: float, iterates):
+    """relChangeBelow (LearningToRankWrapper.hs:241-243) over
+    (score, weights) iterates."""
+    return until_converged(
+        lambda a, b: rel_change(a[0], b[0]) < threshold, iterates
+    )
+
+
+def learn_to_rank(
+    spark: SparkSession,
+    features: DataFrame,
+    qrels: DataFrame,
+    n_features: int,
+    batch_size: int = 100,
+    batch_steps: int = 1,
+    conv_threshold: float = 1e-2,
+    max_iter: int = 100,
+    drop_iter: int = 2,
+    eval_cutoff: int | None = None,
+    steps: list[float] | None = None,
+    init: list[float] | None = None,
+    seed: int = 42,
+) -> tuple[list[float], float]:
+    """The reference's full training loop `learnToRank`
+    (LearningToRankWrapper.hs:164-189): minibatched coordinate ascent
+    whose per-batch iterates are each evaluated on the FULL query set
+    (miniBatchedAndEvaluated), cut by the composed convergence
+    criterion `relChangeBelow threshold . maxIterations maxIter .
+    dropIterations dropIter` (defaultConvergence, with the reference's
+    CLI defaults 1e-2 / 100 / 2), NaN-checked (checkNans), returning the
+    LAST surviving iterate — the reference's exact semantics, which keeps
+    the converged model rather than cherry-picking the best full-set
+    score.
+
+    Raises ValueError on an immediately-empty iterate stream or a NaN
+    metric, mirroring the reference's errors.
+    """
+    import itertools
+    import math as _math
+
+    import numpy as np
+
+    steps = steps or DEFAULT_STEPS
+    w = _l2_normalize(list(init) if init is not None else [1.0] * n_features)
+    if w is None:
+        raise ValueError("initial weights must be non-zero")
+    features = features.cache()
+    qids = sorted(r["qid"] for r in features.select("qid").distinct().collect())
+    if not qids:
+        raise ValueError("no queries in features")
+    rng = np.random.RandomState(seed)
+
+    def iterates():
+        cur = w
+        while True:
+            batch_qids = sorted(
+                {qids[i] for i in rng.randint(0, len(qids), size=batch_size)}
+            )
+            bf = features.filter(F.col("qid").isin(batch_qids))
+            bqr = qrels.filter(F.col("qid").isin(batch_qids))
+            local_best = weighted_map(bf, bqr, cur)
+            for _ in range(batch_steps):
+                improved = False
+                for j in range(n_features):
+                    cands, scores = _eval_coordinate_steps(
+                        bf, bqr, cur, j, steps, eval_cutoff
+                    )
+                    if not cands:
+                        continue
+                    si = max(sorted(scores), key=lambda s: scores[s])
+                    if scores[si] > local_best + 1e-12:
+                        cur = cands[si]
+                        local_best = scores[si]
+                        improved = True
+                if not improved:
+                    break
+            full = weighted_map(features, qrels, cur)
+            if _math.isnan(full):  # checkNans
+                raise ValueError("metric score is NaN")
+            yield (full, list(cur))
+
+    # defaultConvergence: relChangeBelow . maxIterations . dropIterations
+    stream = itertools.islice(iterates(), drop_iter, drop_iter + max_iter)
+    out = list(rel_change_below(conv_threshold, stream))
+    features.unpersist()
+    if not out:
+        raise ValueError("learning converged immediately")
+    score, weights = out[-1]
+    return weights, score

@@ -385,3 +385,42 @@ def test_rerank_with_model_missing_feature_raises(spark):
     )
     with pytest.raises(ValueError, match="missing"):
         rerank_with_model(df, ["bm25", "absent"], [1.0, 2.0], ["bm25"])
+
+
+def test_convergence_combinators_reference_semantics():
+    """untilConverged / relChangeBelow literal behavior
+    (LearningToRankWrapper.hs:228-243): both elements of the converged
+    adjacent pair are emitted, then the stream stops."""
+    from simplir_spark.operators.ltr import rel_change, rel_change_below, until_converged
+
+    xs = [1.0, 2.0, 4.0, 4.1, 8.0, 8.0]
+    got = list(until_converged(lambda a, b: abs(a - b) < 0.5, iter(xs)))
+    assert got == [1.0, 2.0, 4.0, 4.1]
+    assert rel_change(4.0, 4.1) == pytest.approx(0.1 / 4.1)
+    scored = [(1.0, "a"), (1.5, "b"), (1.505, "c"), (9.0, "d")]
+    got2 = list(rel_change_below(0.01, iter(scored)))
+    assert got2 == [(1.0, "a"), (1.5, "b"), (1.505, "c")]
+    # never-converging stream passes through
+    assert list(until_converged(lambda a, b: False, iter([1, 2, 3]))) == [1, 2, 3]
+
+
+def test_learn_to_rank_full_loop(spark):
+    """learnToRank semantics: minibatched ascent, per-batch full-set
+    evaluation, defaultConvergence cut, last iterate returned;
+    deterministic for a fixed seed."""
+    from simplir_spark.operators.ltr import learn_to_rank, weighted_map
+
+    features, qr = _mixed_scale_fixture(spark, scale=1.0)
+    w, m = learn_to_rank(
+        spark, features, qr, n_features=3,
+        batch_size=4, batch_steps=1, conv_threshold=1e-2, max_iter=6, drop_iter=1,
+        seed=3,
+    )
+    assert m == pytest.approx(1.0, abs=1e-9)  # separable fixture converges
+    assert weighted_map(features, qr, w) == pytest.approx(m, abs=1e-12)
+    w2, m2 = learn_to_rank(
+        spark, features, qr, n_features=3,
+        batch_size=4, batch_steps=1, conv_threshold=1e-2, max_iter=6, drop_iter=1,
+        seed=3,
+    )
+    assert (w, m) == (w2, m2)
