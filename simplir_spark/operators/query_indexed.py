@@ -448,12 +448,15 @@ def ql_dirichlet_indexed(
     group_schema = "query_id string, did long, score double"
     # Cross-shard theta seeding (same design + auto-gate as bm25_indexed):
     # a seed pass on each query's densest shard yields a global k-th lower
-    # bound that deepens every other shard's pruning.  Gated at >= 8
-    # shards — below that the extra seed job's fixed cost outweighs the
-    # decode savings (measured on the BM25 path).
+    # bound that deepens every other shard's pruning.  Auto-gated on BOTH
+    # >= 8 shards AND a decode-heavy corpus (>= 4M docs): the seed pass
+    # is one extra fixed-cost job, and an interleaved A/B at 500k docs x
+    # 16 shards measured seeding as a net ~20% SLOWDOWN there
+    # (BENCH/seed_threshold.json) — the savings only amortize once each
+    # shard's decode work dominates the job overhead.
     theta0_by_query: dict[str, float] = {}
     if seed_threshold is None:
-        seed_threshold = n_shards >= 8
+        seed_threshold = n_shards >= 8 and doc_count >= (1 << 22)
     if seed_threshold and n_shards > 1:
         mass = matched.groupBy("query_id", "shard").agg(F.sum("n").alias("_mass"))
         w0 = Window.partitionBy("query_id").orderBy(F.desc("_mass"), F.asc("shard"))
@@ -611,7 +614,11 @@ def bm25_indexed(
     group_schema = "query_id string, did long, score double"
     theta0_by_query: dict[str, float] = {}
     if seed_threshold is None:
-        seed_threshold = n_shards >= 8
+        # >= 8 shards AND a decode-heavy corpus: at 500k docs x 16 shards
+        # the seed job's fixed cost measured as a net slowdown
+        # (BENCH/seed_threshold.json); it amortizes only when per-shard
+        # decode work dominates job overhead
+        seed_threshold = n_shards >= 8 and index.doc_count >= (1 << 22)
     if seed_threshold and n_shards > 1:
         # metadata-only densest-shard pick: no blob columns execute
         mass = matched.groupBy("query_id", "shard").agg(F.sum("n").alias("_mass"))
