@@ -96,6 +96,13 @@ BOUNDARY_SKETCH_PARTS = 32
 # JVM-side pre-sample target: oversample x budget rows flow into the Arrow
 # thinning kernel (distributed — never collected).
 BOUNDARY_OVERSAMPLE = 4
+# Below this budget the distributed sketch's fixed machinery (sample ->
+# round-robin shuffle -> Arrow kernel, ~1.4s measured at 5M keys) costs
+# more than just collecting the sample: small-bucket-count builds take
+# the direct path, whose driver load is <= this many keys.  The sketch
+# engages only where the r3 pain point lived (high bucket counts, up to
+# the 2M-key collect at the 32k cap).
+BOUNDARY_DIRECT_MAX = 1 << 18
 
 
 def _boundary_sketch(
@@ -161,8 +168,18 @@ def sample_boundaries(
     if n == 0:
         return []
     budget = min(max(n_buckets * BOUNDARY_KEYS_PER_BUCKET, 10_000), BOUNDARY_BUDGET_CAP)
-    frac = min(1.0, (BOUNDARY_OVERSAMPLE * budget) / n)
-    cand = _boundary_sketch(df, key_col, budget, seed, frac)
+    if budget <= BOUNDARY_DIRECT_MAX:
+        # direct path: one JVM sample + a bounded collect — cheaper than
+        # the sketch's shuffle below ~256k candidates (measured A/B in
+        # BENCH/boundary_sketch.json); identical weighted-merge downstream
+        frac = min(1.0, budget / n)
+        cand = [
+            (r[0], 1.0)
+            for r in df.select(key_col).sample(False, frac, seed=seed).collect()
+        ]
+    else:
+        frac = min(1.0, (BOUNDARY_OVERSAMPLE * budget) / n)
+        cand = _boundary_sketch(df, key_col, budget, seed, frac)
     if not cand:
         return []
     cand.sort(key=lambda kw: kw[0])
