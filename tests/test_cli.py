@@ -176,3 +176,53 @@ def test_cli_learn_with_folds(tmp_path_factory, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["cv_map"] == pytest.approx(1.0, abs=1e-9)
     assert len(out["fold_test_maps"]) == 2
+
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    """North-rule deployment shape: the whole build+query runs via
+    `spark-submit --py-files <package.zip>` with the driver cwd OUTSIDE
+    the repo — import resolution, worker PYTHONPATH, and the index
+    pipeline all through the packaged artifact."""
+    import os
+    import shutil
+    import subprocess
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not available")
+
+    pkg = str(tmp_path / "simplir_spark.zip")
+    cli.main(["package", "--out", pkg])
+    job = tmp_path / "job.py"
+    job.write_text(
+        "import json, tempfile, shutil\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.appName('submit_smoke').getOrCreate()\n"
+        "from simplir_spark.sources.corpus import load_corpus\n"
+        "from simplir_spark.operators.index_build import build_index, open_index\n"
+        "from simplir_spark.operators.query_indexed import bm25_indexed\n"
+        "from simplir_spark.queryset import QUERIES\n"
+        "corpus = load_corpus(spark, '/root/testdata/sf0.001')\n"
+        "idx_dir = tempfile.mkdtemp(prefix='submit_idx_')\n"
+        "shutil.rmtree(idx_dir, ignore_errors=True)\n"
+        "build_index(spark, corpus, idx_dir)\n"
+        "idx = open_index(spark, idx_dir)\n"
+        "rows = bm25_indexed(spark, idx, QUERIES[:4], k=5).collect()\n"
+        "print('SUBMIT_RESULT ' + json.dumps({'docs': idx.doc_count, 'rows': len(rows)}))\n"
+        "shutil.rmtree(idx_dir, ignore_errors=True)\n"
+        "spark.stop()\n"
+    )
+    out = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]", "--py-files", pkg,
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+            str(job),
+        ],
+        cwd=str(tmp_path),  # NOT the repo — imports must come from the zip
+        capture_output=True, text=True, timeout=360,
+    )
+    marker = [l for l in out.stdout.splitlines() if l.startswith("SUBMIT_RESULT ")]
+    assert marker, f"no result marker; stderr tail: {out.stderr[-2000:]}"
+    res = json.loads(marker[0].split(" ", 1)[1])
+    assert res == {"docs": 500, "rows": 20}
