@@ -145,8 +145,9 @@ def _parse_feature_files(pairs: list[str]) -> list[tuple[str, str]]:
 def _run_features(spark, feature_files: list[tuple[str, str]]):
     """One feature per TREC run file, value = the run score
     (runToDocFeatures, LearningToRankWrapper.hs:92-100).  Docs must carry
-    EVERY feature (the reference's toFeatures' M.! is partial); the inner
-    join makes that explicit."""
+    EVERY feature — the reference's toFeatures' ``M.!`` is partial and
+    errors loudly on a missing one, so a (qid, doc) absent from any run
+    file raises here too instead of silently shrinking the set."""
     from pyspark.sql import functions as F
 
     from simplir_spark.sources.trec import read_trec_run
@@ -158,51 +159,80 @@ def _run_features(spark, feature_files: list[tuple[str, str]]):
         r = read_trec_run(spark, paths[n]).select(
             "qid", "doc", F.col("score").alias(f"f_{n}")
         )
-        df = r if df is None else df.join(r, ["qid", "doc"], "inner")
+        df = r if df is None else df.join(r, ["qid", "doc"], "outer")
+    missing = df.select(
+        *[
+            F.sum(F.col(f"f_{n}").isNull().cast("long")).alias(n)
+            for n in names
+        ]
+    ).collect()[0]
+    bad = {n: int(missing[n]) for n in names if missing[n]}
+    if bad:
+        raise SystemExit(
+            "missing features (docs absent from these run files): "
+            + ", ".join(f"{n} x{c}" for n, c in sorted(bad.items()))
+        )
     features = df.select(
         "qid", "doc", F.array(*[f"f_{n}" for n in names]).alias("features")
     )
     return names, features
 
 
+def _train_with_restarts(spark, features, qrels, n_features, n_iters, cutoff, restarts):
+    """z-normalize, run coordinate ascent ``restarts`` times (restart 0
+    from all-ones, later restarts from seeded random inits — the same
+    scheme as k_fold_cross_validate), keep the best-by-train-MAP, return
+    de-normalized weights usable on raw features."""
+    import numpy as np
+
+    from simplir_spark.operators.ltr import ZNormalizer, coordinate_ascent
+
+    norm = ZNormalizer.fit(features, n_features)
+    nf = norm.normalize(features)
+    best = None
+    for r in range(max(1, restarts)):
+        if r == 0:
+            init = [1.0] * n_features
+        else:
+            rng = np.random.RandomState((42 * 1_000_003 + r) % (2**32))
+            init = rng.uniform(-1.0, 1.0, size=n_features).tolist()
+            if all(x == 0.0 for x in init):
+                init = [1.0] * n_features
+        w, m = coordinate_ascent(
+            spark, nf, qrels, n_features, n_iters=n_iters, init=init,
+            eval_cutoff=cutoff,
+        )
+        if best is None or m > best[1]:
+            best = (w, m)
+    return norm.denorm_weights(best[0]), best[1]
+
+
 def cmd_learn(args) -> None:
     """Learn2Rank.hs `learn`: features from run files + qrels -> trained
-    model JSON (weights de-normalized, applicable to raw features)."""
-    from simplir_spark.operators.ltr import (
-        ZNormalizer,
-        coordinate_ascent,
-        k_fold_cross_validate,
-        save_model,
-    )
+    model JSON (weights de-normalized, applicable to raw features).
+    ``--restarts`` applies to BOTH the CV estimate and the final saved
+    model."""
+    from simplir_spark.operators.ltr import k_fold_cross_validate, save_model
     from simplir_spark.sources.trec import read_qrels
 
     spark = _spark(args)
     names, features = _run_features(spark, _parse_feature_files(args.features))
     qrels = read_qrels(spark, args.qrels)
+    w, m = _train_with_restarts(
+        spark, features, qrels, len(names), args.iters, args.cutoff, args.restarts
+    )
+    save_model(args.out, names, w)
     if args.folds:
         cv = k_fold_cross_validate(
             spark, features, qrels, n_features=len(names),
             k=args.folds, n_iters=args.iters, n_restarts=args.restarts,
             eval_cutoff=args.cutoff,
         )
-        # final model: train on ALL queries (folds were the estimate)
-        norm = ZNormalizer.fit(features, len(names))
-        w, m = coordinate_ascent(
-            spark, norm.normalize(features), qrels, n_features=len(names),
-            n_iters=args.iters, eval_cutoff=args.cutoff,
-        )
-        save_model(args.out, names, norm.denorm_weights(w))
         print(json.dumps({
             "map": m, "cv_map": cv["cv_map"],
             "fold_test_maps": [f["test_map"] for f in cv["folds"]],
         }))
     else:
-        norm = ZNormalizer.fit(features, len(names))
-        w, m = coordinate_ascent(
-            spark, norm.normalize(features), qrels, n_features=len(names),
-            n_iters=args.iters, eval_cutoff=args.cutoff,
-        )
-        save_model(args.out, names, norm.denorm_weights(w))
         print(json.dumps({"map": m}))
 
 

@@ -200,6 +200,37 @@ def coordinate_ascent(
     return w, best_map
 
 
+def _batch_sweep(
+    bf: DataFrame,
+    bqr: DataFrame,
+    w: list[float],
+    n_features: int,
+    steps: list[float],
+    batch_steps: int,
+    eval_cutoff: int | None,
+) -> list[float]:
+    """One mini-batch's optimizer run: up to ``batch_steps`` coordinate
+    sweeps over the batch, accepting batch-LOCAL strict improvements —
+    the shared body of `coordinate_ascent_minibatched` and
+    `learn_to_rank` (the reference's single ``optimise`` closure,
+    LearningToRankWrapper.hs:175-178)."""
+    local_best = weighted_map(bf, bqr, w)
+    for _ in range(batch_steps):
+        improved = False
+        for j in range(n_features):
+            cands, scores = _eval_coordinate_steps(bf, bqr, w, j, steps, eval_cutoff)
+            if not cands:
+                continue
+            si = max(sorted(scores), key=lambda s: scores[s])
+            if scores[si] > local_best + 1e-12:
+                w = cands[si]
+                local_best = scores[si]
+                improved = True
+        if not improved:
+            break
+    return w
+
+
 def coordinate_ascent_minibatched(
     spark: SparkSession,
     features: DataFrame,
@@ -252,20 +283,7 @@ def coordinate_ascent_minibatched(
         batch_qids = sorted({qids[i] for i in rng.randint(0, len(qids), size=batch_size)})
         bf = features.filter(F.col("qid").isin(batch_qids))
         bqr = qrels.filter(F.col("qid").isin(batch_qids))
-        local_best = weighted_map(bf, bqr, w)
-        for _ in range(batch_steps):
-            improved = False
-            for j in range(n_features):
-                cands, scores = _eval_coordinate_steps(bf, bqr, w, j, steps, eval_cutoff)
-                if not cands:
-                    continue
-                si = max(sorted(scores), key=lambda k: scores[k])
-                if scores[si] > local_best + 1e-12:
-                    w = cands[si]
-                    local_best = scores[si]
-                    improved = True
-            if not improved:
-                break
+        w = _batch_sweep(bf, bqr, w, n_features, steps, batch_steps, eval_cutoff)
         if (b + 1) % eval_every == 0 or b == n_batches - 1:
             m = weighted_map(features, qrels, w)
             if m > best_map:
@@ -428,14 +446,18 @@ def k_fold_cross_validate(
     Returns {"folds": [{fold, test_qids, weights, train_map, test_map}],
     "cv_map": float}.  Weights are de-normalized (applicable to raw
     features) when ``normalize``.
+
+    No test-fold leakage: the z-normalizer is fitted PER FOLD on the
+    training complement only, and the held-out fold is scored with the
+    fold's de-normalized weights on RAW features — rank-identical to
+    normalized scoring (the normalization shift is a per-query constant),
+    so the test fold's statistics never touch the transform.
     """
     import numpy as np
 
     features = features.cache()
     qids = sorted(str(r["qid"]) for r in features.select("qid").distinct().collect())
     folds = mk_sequential_folds(k, qids)
-    norm = ZNormalizer.fit(features, n_features) if normalize else None
-    nfeatures = norm.normalize(features).cache() if norm else features
 
     def train(fold_idx, restart_idx, rng_seed, train_f, train_q):
         if restart_idx == 0:
@@ -445,20 +467,26 @@ def k_fold_cross_validate(
             init = rng.uniform(-1.0, 1.0, size=n_features).tolist()
             if all(x == 0.0 for x in init):  # measure-zero guard
                 init = [1.0] * n_features
+        if normalize:
+            fold_norm = ZNormalizer.fit(train_f, n_features)
+            w, m = coordinate_ascent(
+                spark, fold_norm.normalize(train_f), train_q, n_features,
+                n_iters=n_iters, init=init, eval_cutoff=eval_cutoff,
+            )
+            return fold_norm.denorm_weights(w), m
         return coordinate_ascent(
             spark, train_f, train_q, n_features,
             n_iters=n_iters, init=init, eval_cutoff=eval_cutoff,
         )
 
     results = k_folds_and_restarts(
-        train, nfeatures, qrels, folds, n_restarts, seed=seed
+        train, features, qrels, folds, n_restarts, seed=seed
     )
     fold_rows = []
     test_maps = []
-    weights_sum = 0.0
     for fold_idx, (test_qids, restarts) in enumerate(results):
         w, train_map = max(restarts, key=lambda wm: wm[1])
-        test_f = nfeatures.filter(F.col("qid").isin(test_qids))
+        test_f = features.filter(F.col("qid").isin(test_qids))
         test_q = qrels.filter(F.col("qid").isin(test_qids))
         test_map = weighted_map(test_f, test_q, w)
         test_maps.append((len(test_qids), test_map))
@@ -466,19 +494,16 @@ def k_fold_cross_validate(
             {
                 "fold": fold_idx,
                 "test_qids": test_qids,
-                "weights": norm.denorm_weights(w) if norm else w,
+                "weights": w,
                 "train_map": train_map,
                 "test_map": test_map,
             }
         )
-        weights_sum += sum(abs(x) for x in w)
     # MAP is a per-query mean, so the concatenated held-out evaluation is
     # the query-count-weighted mean of per-fold test MAPs (every query
     # appears in exactly one fold)
     n_q = sum(n for n, _ in test_maps)
     cv_map = sum(n * m for n, m in test_maps) / n_q if n_q else 0.0
-    if norm:
-        nfeatures.unpersist()
     features.unpersist()
     return {"folds": fold_rows, "cv_map": cv_map}
 
@@ -549,7 +574,14 @@ def rerank_with_model(
 
 
 def rel_change(a: float, b: float) -> float:
-    """relChange (LearningToRankWrapper.hs:212): |a-b| / |b|."""
+    """relChange (LearningToRankWrapper.hs:212): |a-b| / |b|.
+
+    b == 0 returns +inf: the reference's Double division yields Inf (or
+    NaN for 0/0), and both compare False against `< threshold`, so a
+    zero-score stream keeps iterating instead of crashing — +inf
+    reproduces exactly that non-convergence without the ZeroDivisionError."""
+    if b == 0.0:
+        return float("inf")
     return abs(a - b) / abs(b)
 
 
@@ -626,31 +658,18 @@ def learn_to_rank(
             )
             bf = features.filter(F.col("qid").isin(batch_qids))
             bqr = qrels.filter(F.col("qid").isin(batch_qids))
-            local_best = weighted_map(bf, bqr, cur)
-            for _ in range(batch_steps):
-                improved = False
-                for j in range(n_features):
-                    cands, scores = _eval_coordinate_steps(
-                        bf, bqr, cur, j, steps, eval_cutoff
-                    )
-                    if not cands:
-                        continue
-                    si = max(sorted(scores), key=lambda s: scores[s])
-                    if scores[si] > local_best + 1e-12:
-                        cur = cands[si]
-                        local_best = scores[si]
-                        improved = True
-                if not improved:
-                    break
+            cur = _batch_sweep(bf, bqr, cur, n_features, steps, batch_steps, eval_cutoff)
             full = weighted_map(features, qrels, cur)
             if _math.isnan(full):  # checkNans
                 raise ValueError("metric score is NaN")
             yield (full, list(cur))
 
-    # defaultConvergence: relChangeBelow . maxIterations . dropIterations
-    stream = itertools.islice(iterates(), drop_iter, drop_iter + max_iter)
-    out = list(rel_change_below(conv_threshold, stream))
-    features.unpersist()
+    try:
+        # defaultConvergence: relChangeBelow . maxIterations . dropIterations
+        stream = itertools.islice(iterates(), drop_iter, drop_iter + max_iter)
+        out = list(rel_change_below(conv_threshold, stream))
+    finally:
+        features.unpersist()
     if not out:
         raise ValueError("learning converged immediately")
     score, weights = out[-1]
