@@ -56,8 +56,14 @@ def score_query_runs(
     did_lo: int | None = None,
     did_hi: int | None = None,
     theta0: float = float("-inf"),
+    decode_cache: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one query's posting runs; returns (top dids, top scores).
+
+    ``decode_cache`` (optional dict keyed (term, start_did) -> raw decoded
+    arrays) memoizes run decodes ACROSS calls — the shard-grouped scorer
+    passes one cache for all queries in a shard so a run shared by
+    several queries decodes once.
 
     ``runs`` columns: term, start_did, end_did, n, max_tf, deltas, tfs, dls
     plus per-term ``df``.  ``decode_counter`` (tests) receives
@@ -155,7 +161,19 @@ def score_query_runs(
             if not dec:
                 continue
             decoded += 1
-            dids, tfs, dls = codec.decode_run(row.start_did, row.n, row.deltas, row.tfs, row.dls)
+            if decode_cache is not None:
+                ckey = (t, int(row.start_did))
+                cached = decode_cache.get(ckey)
+                if cached is None:
+                    cached = codec.decode_run(
+                        row.start_did, row.n, row.deltas, row.tfs, row.dls
+                    )
+                    decode_cache[ckey] = cached
+                dids, tfs, dls = cached
+            else:
+                dids, tfs, dls = codec.decode_run(
+                    row.start_did, row.n, row.deltas, row.tfs, row.dls
+                )
             if did_lo is not None or did_hi is not None:
                 m = np.ones(len(dids), dtype=bool)
                 if did_lo is not None:
@@ -528,6 +546,85 @@ def _resolve_doc_keys(spark: SparkSession, index: IndexHandle, topk: DataFrame) 
     )
 
 
+def _bm25_indexed_shard_grouped(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[str, list[str]]],
+    post: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    n_shards: int,
+    span: int,
+) -> DataFrame:
+    """bm25_indexed's ``grouping="shard"`` body: one group per did-shard,
+    every query scored inside it against a shared per-shard decode cache.
+    The matched runs never join the query table, so the shuffle carries
+    each run's blobs exactly once however many queries share its term."""
+    doc_count, avg_doc_len = index.doc_count, index.avg_doc_len
+    q_terms = sorted({t for _, terms in queries for t in terms})
+    q_term_lists = {qid: sorted(set(terms)) for qid, terms in queries}
+    matched = (
+        post.join(F.broadcast(index.term_stats.filter(F.col("term").isin(q_terms))), "term")
+        .withColumn(
+            "shard",
+            F.explode(
+                F.sequence(
+                    (F.col("start_did") / span).cast("long"),
+                    (F.col("end_did") / span).cast("long"),
+                )
+            ),
+        )
+        .select(
+            "shard", "term", "df", "start_did", "end_did", "n",
+            "max_tf", "deltas", "tfs", "dls",
+        )
+    )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        lo, hi = shard * span, (shard + 1) * span
+        cache: dict = {}
+        out_qid, out_did, out_score = [], [], []
+        shard_terms = set(pdf["term"])
+        for qid in sorted(q_term_lists):
+            terms_q = [t for t in q_term_lists[qid] if t in shard_terms]
+            if not terms_q:
+                continue
+            sub = pdf[pdf["term"].isin(terms_q)]
+            dids, scores = score_query_runs(
+                sub, doc_count, avg_doc_len, k, k1, b,
+                did_lo=lo, did_hi=hi, decode_cache=cache,
+            )
+            out_qid.extend([qid] * len(dids))
+            out_did.append(dids)
+            out_score.append(scores)
+        if not out_qid:
+            return pd.DataFrame({"query_id": [], "did": [], "score": []}).astype(
+                {"query_id": str, "did": np.int64, "score": np.float64}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": out_qid,
+                "did": np.concatenate(out_did),
+                "score": np.concatenate(out_score),
+            }
+        )
+
+    from pyspark.sql import Window
+
+    local_topk = matched.groupBy("shard").applyInPandas(
+        score_group, "query_id string, did long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("did"))
+    topk = (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "did", F.col("rank").cast("int").alias("rank"), "score")
+    )
+    return _resolve_doc_keys(spark, index, topk)
+
+
 def bm25_indexed(
     spark: SparkSession,
     index: IndexHandle,
@@ -537,8 +634,20 @@ def bm25_indexed(
     b: float = B_DEFAULT,
     n_shards: int | None = None,
     seed_threshold: bool | None = None,
+    grouping: str = "query_shard",
 ) -> DataFrame:
     """All queries against the index in one job.
+
+    ``grouping`` picks the scoring-group shape:
+      * ``"query_shard"`` (default): one group per (query, did-shard) —
+        maximal per-group pruning depth, but a run whose term appears in
+        q queries ships q times through the shuffle;
+      * ``"shard"``: one group per did-shard, ALL queries scored inside
+        it with a shared decode cache — each matched run crosses the wire
+        and decodes exactly ONCE regardless of query count.  The right
+        shape for large query batches over overlapping vocabulary (term
+        grids, query logs), where per-query duplication dominates; theta
+        seeding stays a query_shard feature.
 
     Returns (query_id, doc_key, rank, score).  Rank ties break by did,
     which by construction equals doc_key order (dense ids are assigned in
@@ -565,19 +674,27 @@ def bm25_indexed(
     theta0.  Cost: one shard per query is scored twice (~1/n_shards extra
     work) buying first-term pruning everywhere else.
     """
+    if grouping not in ("query_shard", "shard"):
+        raise ValueError(f"unknown grouping {grouping!r}")
     qdf = queries_df(spark, queries)
     doc_count, avg_doc_len = index.doc_count, index.avg_doc_len
     if n_shards is None:
         par = spark.sparkContext.defaultParallelism
         n_shards = max(
             1,
-            (2 * par) // max(1, len(queries)),
+            # shard groups are the only parallelism axis in "shard" mode
+            (2 * par) if grouping == "shard" else (2 * par) // max(1, len(queries)),
             -(-doc_count // (1 << 22)),  # keep shard spans dense-accumulator-sized
         )
     span = max(1, -(-max(1, doc_count) // n_shards))  # ceil
 
     q_terms = sorted({t for _, terms in queries for t in terms})
     post = index.postings.filter(F.col("term").isin(q_terms))  # parquet pushdown
+
+    if grouping == "shard":
+        return _bm25_indexed_shard_grouped(
+            spark, index, queries, post, k, k1, b, n_shards, span
+        )
     matched = (
         post.join(F.broadcast(qdf), "term")
         .join(F.broadcast(index.term_stats.filter(F.col("term").isin(q_terms))), "term")

@@ -974,3 +974,42 @@ def test_ql_indexed_seeded_equals_unseeded(spark, index_dir, corpus_small):
     ).collect()
     key = lambda rows: sorted((r.query_id, r.rank, r.doc_key, round(r.score, 9)) for r in rows)
     assert key(seeded) == key(unseeded)
+
+
+def test_bm25_indexed_shard_grouping_rank_identical(spark, index_dir, oracle_idx):
+    """grouping='shard' (one group per did-shard, shared decode cache
+    across queries) must be rank-identical to the default query_shard
+    grouping and to the oracle."""
+    idx = open_index(spark, index_dir)
+    got = bm25_indexed(spark, idx, QUERIES, k=K, grouping="shard", n_shards=4).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, terms in QUERIES:
+        want = bm25_topk(oracle_idx, terms, K)
+        have = sorted(by_q.get(qid, []), key=lambda r: r.rank)
+        assert [(r.rank, r.doc_key) for r in have] == [(rk, ky) for rk, ky, _ in want], qid
+        for r, (_, _, sc) in zip(have, want):
+            assert r.score == pytest.approx(sc, rel=REL_TOL)
+
+
+def test_decode_cache_shares_across_queries():
+    """The shared decode cache decodes a run once even when several
+    queries' scoring passes touch it."""
+    from simplir_spark.operators.query_indexed import score_query_runs
+
+    rng = np.random.RandomState(3)
+    dids = np.arange(0, 500, dtype=np.int64)
+    tfs = rng.randint(1, 4, size=len(dids)).astype(np.int64)
+    dls = np.full(len(dids), 60, dtype=np.int64)
+    run = codec.encode_run(dids, tfs, dls)
+    runs = pd.DataFrame([{"term": "shared", "df": len(dids), **run}])
+    cache: dict = {}
+    d1, s1 = score_query_runs(runs, 500, 60.0, 10, did_lo=0, did_hi=500, decode_cache=cache)
+    assert len(cache) == 1
+    key = next(iter(cache))
+    first = cache[key]
+    d2, s2 = score_query_runs(runs, 500, 60.0, 10, did_lo=0, did_hi=500, decode_cache=cache)
+    assert cache[key] is first  # reused, not re-decoded
+    assert d1.tolist() == d2.tolist()
+    np.testing.assert_allclose(s1, s2, rtol=0)
