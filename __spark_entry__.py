@@ -178,6 +178,46 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_tokenized_docs(spark, sf_dir))
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (training-sequence
+    prep) — pure array expressions (sequence + explode + slice), no
+    shuffle, no Python."""
+    from simplir_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _tokenized_docs(spark, sf_dir), chunk_size=16, overlap=4
+    )
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-hash corpus sampling: the keep decision is a
+    pure function of md5(doc_id:seed) — reproducible across engines,
+    partitionings, and retries (unlike partition-RNG df.sample)."""
+    from simplir_spark.operators.packing import sample_deterministic
+
+    return sample_deterministic(
+        _corpus(spark, sf_dir).select(F.col("doc_key").alias("doc_id")),
+        rate=0.25, seed=7,
+    )
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: exact global token offsets via a
+    distributed two-pass prefix sum (per-range totals -> driver exclusive
+    scan -> broadcast offsets + range-local window), bin = offset //
+    budget — no single-task global window at any corpus size."""
+    from simplir_spark.operators.packing import pack_sequences
+
+    dl = _tokenized_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "doc_len"
+    )
+    out = pack_sequences(
+        dl, token_budget=2048, order_col="doc_id", len_col="doc_len",
+        range_size=128,
+    )
+    return out.select("doc_id", "doc_len", "start_offset", "bin_id")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplir_spark.functions.text import doc_fingerprint
 
@@ -813,6 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
+        "doc_chunks": q_doc_chunks,
+        "corpus_sample": q_corpus_sample,
+        "seq_packing": q_seq_packing,
         "doc_fingerprint": q_doc_fingerprint,
         "doclen_histogram": q_doclen_histogram,
         "trec_run": q_trec_run,
@@ -1283,6 +1326,54 @@ def oracle_sql() -> dict[str, str]:
       md5(array_to_string(list_filter(string_split(text, ' '), x -> length(x) > 2), ' ')) AS fingerprint,
       CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 2)) AS BIGINT) AS n_terms
     FROM documents
+    """
+
+    # chunk_size=16, overlap=4 -> stride 12; chunk i covers toks[i*12+1 ..
+    # i*12+16] (1-based, list slicing clamps at the end on both engines)
+    sql["doc_chunks"] = """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 2) AS toks
+      FROM documents
+    ),
+    nz AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+    ch AS (
+      SELECT doc_id, i - 1 AS chunk_ix,
+             toks[(i-1)*12 + 1 : (i-1)*12 + 16] AS chunk
+      FROM nz, unnest(generate_series(1,
+             greatest(CAST(ceil((n - 4) / 12.0) AS INT), 1))) AS g(i)
+    )
+    SELECT doc_id, CAST(chunk_ix AS INT) AS chunk_ix,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM ch
+    """
+
+    # rate=0.25, seed=7: keep iff int(first 8 md5 hex of 'doc_id:7') <
+    # 0.25 * 16^8 — the identical pure-key decision on both engines
+    sql["corpus_sample"] = f"""
+    SELECT doc_id FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
+          < {int(0.25 * (16 ** 8))}
+    """
+
+    # token_budget=2048; exclusive prefix sum of doc_len in doc_id order
+    sql["seq_packing"] = """
+    WITH tk AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> length(x) > 2))
+               AS doc_len
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, doc_len,
+             CAST(coalesce(sum(doc_len) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM tk
+    )
+    SELECT doc_id, doc_len, start_offset,
+           CAST(start_offset // 2048 AS BIGINT) AS bin_id
+    FROM cum
     """
 
     sql["doclen_histogram"] = f"""

@@ -1,0 +1,160 @@
+"""Training-data pipeline operators: chunking, sampling, sequence packing.
+
+The operations an LLM-training corpus pipeline applies after filtering —
+split long documents into token windows, draw deterministic corpus
+samples, and pack documents into fixed token-budget bins — each expressed
+as pure DataFrame transformations (no Python in the row path) with exact
+ANSI-SQL twins for the correctness oracle.
+
+Scale notes
+-----------
+``with_cumulative_offsets`` is a distributed two-pass prefix sum: a
+single global ``Window.orderBy`` would funnel the whole table through ONE
+task, so instead pass 1 aggregates per-range totals (tiny: one row per
+``range_size`` ids), the driver exclusive-scans them (O(n_ranges)), and
+pass 2 adds a range-local window cumsum to the broadcast range offset —
+the same shape as the index build's dense-id assignment
+(index_build.bucket_offsets, Document.hs:62-76's mapAccumL analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    tokenized: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 0,
+    doc_col: str = "doc_id",
+    tokens_col: str = "terms",
+) -> DataFrame:
+    """Split each document's token array into fixed-size windows with
+    ``overlap`` tokens of context carried between adjacent chunks.
+
+    Output: (doc_col, chunk_ix, n_tokens, chunk_text) — one row per
+    chunk, chunk_ix 0-based; a document shorter than one stride still
+    yields its single (possibly short) chunk.  Pure array expressions
+    (sequence + transform + slice): no shuffle, no Python.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    n = F.size(F.col(tokens_col))
+    # number of chunks: ceil(max(n - overlap, 1) / stride), min 1 for
+    # non-empty docs; empty docs produce no rows
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    chunked = (
+        tokenized.filter(n > 0)
+        .select(
+            doc_col,
+            F.col(tokens_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_ix"),
+        )
+        .select(
+            doc_col,
+            "chunk_ix",
+            F.slice(
+                F.col(tokens_col), F.col("chunk_ix") * stride + 1, chunk_size
+            ).alias("_chunk"),
+        )
+    )
+    return chunked.select(
+        doc_col,
+        "chunk_ix",
+        F.size("_chunk").alias("n_tokens"),
+        F.concat_ws(" ", "_chunk").alias("chunk_text"),
+    )
+
+
+def sample_deterministic(
+    df: DataFrame,
+    rate: float,
+    seed: int = 42,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a deterministic, engine-independent ``rate`` fraction of rows:
+    a row survives iff the first 8 hex digits of md5(key || ':' || seed),
+    read as an integer, fall below rate * 16^8.  Unlike ``df.sample``
+    (partition-layout-dependent RNG), the decision is a pure function of
+    the KEY — reproducible across engines, partitionings, and retries,
+    which is what a training-corpus sampling step must be.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8),
+        16, 10,
+    ).cast("long")
+    return df.filter(bucket < F.lit(int(rate * (16**8))))
+
+
+def with_cumulative_offsets(
+    df: DataFrame,
+    order_col: str,
+    len_col: str,
+    range_size: int = 1 << 20,
+) -> DataFrame:
+    """Exact global exclusive prefix sum of ``len_col`` in ``order_col``
+    order, WITHOUT a global single-task window: per-range totals are
+    aggregated distributively, exclusive-scanned on the driver (one tiny
+    row per ``range_size`` of the order key), and broadcast back; the
+    in-range remainder is a range-partitioned window.  Requires a
+    non-negative integer ``order_col`` (e.g. the dense ``did``).
+
+    Adds column ``start_offset``.
+    """
+    spark = df.sparkSession
+    rid = (F.col(order_col) / F.lit(range_size)).cast("long")
+    totals = {
+        int(r["_rid"]): int(r["_sum"])
+        for r in df.select(rid.alias("_rid"), F.col(len_col).alias("_l"))
+        .groupBy("_rid").agg(F.sum("_l").alias("_sum")).collect()
+    }
+    acc = 0
+    rows = []
+    for key in sorted(totals):
+        rows.append((key, acc))
+        acc += totals[key]
+    if not rows:
+        return df.withColumn("start_offset", F.lit(0).cast("long"))
+    # broadcast-joined offset table, NOT a literal map: n_ranges rows stay
+    # a DataFrame (a 10^12-doc corpus at the default range is ~1M rows —
+    # a plan literal that size would choke Catalyst)
+    off_df = spark.createDataFrame(rows, "_rid long, _range_offset long")
+    w = Window.partitionBy("_rid").orderBy(order_col)
+    local_cum = F.coalesce(
+        F.sum(len_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        df.withColumn("_rid", rid)
+        .join(F.broadcast(off_df), "_rid")
+        .withColumn("start_offset", (F.col("_range_offset") + local_cum).cast("long"))
+        .drop("_rid", "_range_offset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int,
+    order_col: str = "did",
+    len_col: str = "doc_len",
+    range_size: int = 1 << 20,
+) -> DataFrame:
+    """Assign each document to a fixed token-budget training bin:
+    ``bin_id = start_offset // token_budget`` over the exact global
+    cumulative token offset in ``order_col`` order (offset-based packing
+    — a document starting inside a bin belongs to it; deterministic,
+    engine-independent, and computable without a global sort via
+    ``with_cumulative_offsets``).
+
+    Output adds (start_offset, bin_id).
+    """
+    out = with_cumulative_offsets(df, order_col, len_col, range_size)
+    return out.withColumn(
+        "bin_id", (F.col("start_offset") / F.lit(token_budget)).cast("long")
+    )

@@ -1,0 +1,86 @@
+"""Training-pipeline operators: chunking, deterministic sampling,
+distributed prefix-sum sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simplir_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+    sample_deterministic,
+    with_cumulative_offsets,
+)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    rows = [
+        ("a", [f"t{i}" for i in range(10)]),   # 10 tokens
+        ("b", ["x"]),                           # shorter than one stride
+        ("c", []),                              # empty -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, terms array<string>")
+    out = {
+        (r.doc_id, r.chunk_ix): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk_size=4, overlap=1).collect()
+    }
+    # stride 3: ceil((10-1)/3) = 3 chunks cover every token
+    assert out[("a", 0)] == (4, "t0 t1 t2 t3")
+    assert out[("a", 1)] == (4, "t3 t4 t5 t6")
+    assert out[("a", 2)] == (4, "t6 t7 t8 t9")
+    assert ("a", 3) not in out
+    assert out[("b", 0)] == (1, "x")
+    assert not any(k[0] == "c" for k in out)
+    # every token appears; adjacent chunks share exactly `overlap` tokens
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_sample_deterministic_is_partition_invariant(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    kept1 = sorted(r.doc_id for r in sample_deterministic(df, 0.3, seed=5).collect())
+    kept2 = sorted(
+        r.doc_id
+        for r in sample_deterministic(df.repartition(13), 0.3, seed=5).collect()
+    )
+    assert kept1 == kept2  # pure function of the key, not the layout
+    assert 0.2 < len(kept1) / 2000 < 0.4
+    kept3 = sorted(r.doc_id for r in sample_deterministic(df, 0.3, seed=6).collect())
+    assert kept1 != kept3  # seed-sensitive
+    assert sample_deterministic(df, 0.0).count() == 0
+    assert sample_deterministic(df, 1.0).count() == 2000
+
+
+def test_cumulative_offsets_match_naive_prefix_sum(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    lens = rng.randint(0, 50, size=500).tolist()
+    df = spark.createDataFrame(
+        [(i, int(l)) for i, l in enumerate(lens)], "did long, doc_len int"
+    )
+    # tiny range_size so many ranges + driver scan are exercised
+    out = {
+        r.did: r.start_offset
+        for r in with_cumulative_offsets(df.repartition(7), "did", "doc_len", range_size=64).collect()
+    }
+    acc = 0
+    for i, l in enumerate(lens):
+        assert out[i] == acc, i
+        acc += l
+
+
+def test_pack_sequences_bins(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(40)], "did long, doc_len int"
+    )
+    out = {r.did: (r.start_offset, r.bin_id) for r in
+           pack_sequences(df, token_budget=1000, range_size=8).collect()}
+    for i in range(40):
+        assert out[i] == (i * 100, (i * 100) // 1000)
+    # 10 docs of 100 tokens per 1000-token bin
+    bins = {}
+    for _, (_, b) in out.items():
+        bins[b] = bins.get(b, 0) + 1
+    assert all(v == 10 for v in bins.values())
