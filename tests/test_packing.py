@@ -84,3 +84,62 @@ def test_pack_sequences_bins(spark):
     for _, (_, b) in out.items():
         bins[b] = bins.get(b, 0) + 1
     assert all(v == 10 for v in bins.values())
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Property (hypothesis): for random token counts / chunk params,
+    chunks tile the document — every token index covered, adjacent chunks
+    share exactly `overlap` tokens except possibly the last, and no chunk
+    exceeds chunk_size."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=200),
+        chunk_size=st.integers(min_value=2, max_value=32),
+        overlap=st.integers(min_value=0, max_value=31),
+    )
+    def collect(n, chunk_size, overlap):
+        if overlap < chunk_size:
+            cases.append((n, chunk_size, overlap))
+
+    collect()
+    rows = [
+        (f"d{ci}", [f"t{ci}_{i}" for i in range(n)])
+        for ci, (n, _, _) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, terms array<string>")
+    # group cases by identical params to batch Spark calls
+    by_params: dict = {}
+    for ci, (n, cs, ov) in enumerate(cases):
+        by_params.setdefault((cs, ov), []).append((ci, n))
+    for (cs, ov), members in by_params.items():
+        ids = {f"d{ci}" for ci, _ in members}
+        sub = df.filter(F.col("doc_id").isin(list(ids)))
+        got: dict = {}
+        for r in chunk_documents(sub, chunk_size=cs, overlap=ov).collect():
+            got.setdefault(r.doc_id, []).append((r.chunk_ix, r.chunk_text.split(" ")))
+        stride = cs - ov
+        for ci, n in members:
+            chunks = sorted(got[f"d{ci}"])
+            assert chunks, (ci, n, cs, ov)
+            covered = set()
+            for ix, toks in chunks:
+                assert len(toks) <= cs
+                assert toks == [f"t{ci}_{i}" for i in range(ix * stride, min(ix * stride + cs, n))]
+                covered.update(range(ix * stride, ix * stride + len(toks)))
+            assert covered == set(range(n)), (ci, n, cs, ov)
+
+
+def test_sample_deterministic_rate_monotone(spark):
+    """The kept set grows monotonically with rate (threshold sampling):
+    kept(r1) is a subset of kept(r2) for r1 <= r2 — the property that
+    makes staged corpus scaling reproducible."""
+    df = spark.range(1500).select(F.col("id").alias("doc_id"))
+    k10 = {r.doc_id for r in sample_deterministic(df, 0.1, seed=9).collect()}
+    k30 = {r.doc_id for r in sample_deterministic(df, 0.3, seed=9).collect()}
+    k60 = {r.doc_id for r in sample_deterministic(df, 0.6, seed=9).collect()}
+    assert k10 <= k30 <= k60
