@@ -225,9 +225,11 @@ def score_query_runs_ql(
     did_hi: int,
     decode_counter: list | None = None,
     theta0: float = -np.inf,
+    decode_cache: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Dirichlet-QL DAAT scoring with block-max run skipping — the QL
-    analog of ``score_query_runs``.
+    analog of ``score_query_runs`` (``decode_cache`` memoizes raw run
+    decodes across calls, as there).
 
     Decomposition (see ``ql_dirichlet_indexed``):
         score(d) = C0 + corr(d) - Q * ln(dl_d + mu)
@@ -339,7 +341,19 @@ def score_query_runs_ql(
             if not dec:
                 continue
             decoded += 1
-            dids, tfs, dls = codec.decode_run(row.start_did, row.n, row.deltas, row.tfs, row.dls)
+            if decode_cache is not None:
+                ckey = (t, int(row.start_did))
+                cached = decode_cache.get(ckey)
+                if cached is None:
+                    cached = codec.decode_run(
+                        row.start_did, row.n, row.deltas, row.tfs, row.dls
+                    )
+                    decode_cache[ckey] = cached
+                dids, tfs, dls = cached
+            else:
+                dids, tfs, dls = codec.decode_run(
+                    row.start_did, row.n, row.deltas, row.tfs, row.dls
+                )
             m = (dids >= did_lo) & (dids < did_hi)
             if not m.any():
                 continue
@@ -377,6 +391,7 @@ def ql_dirichlet_indexed(
     mu: float = 1000.0,
     n_shards: int | None = None,
     seed_threshold: bool | None = None,
+    grouping: str = "query_shard",
 ) -> DataFrame:
     """Dirichlet-smoothed query likelihood over the inverted index — the
     index is retrieval-model-generic like the reference's SimpleIndex
@@ -401,11 +416,17 @@ def ql_dirichlet_indexed(
     threshold pruning as BM25 — disabled automatically for queries with
     cf=0 terms, where -inf finals break the partial-score lower bound.
     """
+    if grouping not in ("query_shard", "shard"):
+        raise ValueError(f"unknown grouping {grouping!r}")
     qdf = queries_df(spark, queries)
     doc_count, token_count = index.doc_count, index.token_count
     if n_shards is None:
         par = spark.sparkContext.defaultParallelism
-        n_shards = max(1, (2 * par) // max(1, len(queries)), -(-doc_count // (1 << 22)))
+        n_shards = max(
+            1,
+            (2 * par) if grouping == "shard" else (2 * par) // max(1, len(queries)),
+            -(-doc_count // (1 << 22)),
+        )
     span = max(1, -(-max(1, doc_count) // n_shards))
 
     q_terms = sorted({t for _, terms in queries for t in terms})
@@ -474,8 +495,10 @@ def ql_dirichlet_indexed(
     # shard's decode work dominates the job overhead.
     theta0_by_query: dict[str, float] = {}
     if seed_threshold is None:
-        seed_threshold = n_shards >= 8 and doc_count >= (1 << 22)
-    if seed_threshold and n_shards > 1:
+        seed_threshold = (
+            grouping == "query_shard" and n_shards >= 8 and doc_count >= (1 << 22)
+        )
+    if seed_threshold and grouping == "query_shard" and n_shards > 1:
         mass = matched.groupBy("query_id", "shard").agg(F.sum("n").alias("_mass"))
         w0 = Window.partitionBy("query_id").orderBy(F.desc("_mass"), F.asc("shard"))
         seed_sel = (
@@ -497,9 +520,66 @@ def ql_dirichlet_indexed(
             if int(r["c"]) >= k:
                 theta0_by_query[r["query_id"]] = float(r["mn"])
 
-    local_topk = matched.groupBy("query_id", "shard").applyInPandas(
-        make_score_group(theta0_by_query), group_schema
-    )
+    if grouping == "shard":
+        # one group per did-shard, all queries scored against a shared
+        # decode cache — each run ships/decodes once regardless of query
+        # count (same trade-offs as bm25_indexed(grouping='shard'):
+        # BENCH/query_grouping.json; theta seeding stays query_shard)
+        matched_s = post.withColumn(
+            "shard",
+            F.explode(
+                F.sequence(
+                    (F.col("start_did") / span).cast("long"),
+                    (F.col("end_did") / span).cast("long"),
+                )
+            ),
+        ).select(
+            "shard", "term", "start_did", "end_did", "n", "max_tf",
+            "deltas", "tfs", "dls",
+        )
+
+        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            lo, hi = shard * span, min((shard + 1) * span, max(doc_count, 1))
+            cache: dict = {}
+            shard_terms = set(pdf["term"])
+            out_qid, out_did, out_score = [], [], []
+            for qid in sorted(q_term_lists):
+                terms_q = q_term_lists[qid]
+                if not any(t in shard_terms for t in terms_q):
+                    continue
+                sub = pdf[pdf["term"].isin(terms_q)]
+                term_w = {t: float(qtf[(qid, t)]) for t in terms_q}
+                term_bg = {
+                    t: (cf_by_term.get(t, 0) / token_count if token_count else 0.0)
+                    for t in terms_q
+                }
+                dids_out, scores = score_query_runs_ql(
+                    sub, term_w, term_bg, mu, k, lo, max(hi, lo + 1),
+                    decode_cache=cache,
+                )
+                out_qid.extend([qid] * len(dids_out))
+                out_did.append(dids_out)
+                out_score.append(scores)
+            if not out_qid:
+                return pd.DataFrame({"query_id": [], "did": [], "score": []}).astype(
+                    {"query_id": str, "did": np.int64, "score": np.float64}
+                )
+            return pd.DataFrame(
+                {
+                    "query_id": out_qid,
+                    "did": np.concatenate(out_did),
+                    "score": np.concatenate(out_score),
+                }
+            )
+
+        local_topk = matched_s.groupBy("shard").applyInPandas(
+            score_shard, group_schema
+        )
+    else:
+        local_topk = matched.groupBy("query_id", "shard").applyInPandas(
+            make_score_group(theta0_by_query), group_schema
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("did"))
     topk = (
         local_topk.withColumn("rank", F.row_number().over(w))

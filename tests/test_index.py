@@ -1013,3 +1013,16 @@ def test_decode_cache_shares_across_queries():
     assert cache[key] is first  # reused, not re-decoded
     assert d1.tolist() == d2.tolist()
     np.testing.assert_allclose(s1, s2, rtol=0)
+
+
+def test_ql_indexed_shard_grouping_matches_query_shard(spark, index_dir, corpus_small):
+    """QL grouping='shard' (shared decode cache across queries) is
+    rank-identical to the default grouping and the scan scorer."""
+    from simplir_spark.operators.query_indexed import ql_dirichlet_indexed
+
+    queries = [q for q in QUERIES if q[0] not in ("Q08", "Q09", "Q14")][:6]
+    idx = open_index(spark, index_dir)
+    a = ql_dirichlet_indexed(spark, idx, queries, k=10).collect()
+    b = ql_dirichlet_indexed(spark, idx, queries, k=10, grouping="shard", n_shards=4).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.doc_key, round(r.score, 9)) for r in rows)
+    assert key(a) == key(b)
