@@ -40,7 +40,7 @@ def run_bench(sf_dir: str, cores: int, out_stream=sys.stdout) -> dict:
         ngram_shingles,
     )
     from simplir_spark.operators.index_build import build_index, open_index
-    from simplir_spark.operators.query_indexed import bm25_indexed
+    from simplir_spark.operators.query_indexed import bm25_indexed, ql_dirichlet_indexed
     from simplir_spark.queryset import QUERIES
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
@@ -114,6 +114,12 @@ def run_bench(sf_dir: str, cores: int, out_stream=sys.stdout) -> dict:
             timed(
                 "bm25_topk_indexed",
                 lambda: bm25_indexed(spark, idx, QUERIES, k=10).collect(),
+            )
+
+            # q2b: indexed Dirichlet-QL (block-max pruned since r4)
+            timed(
+                "ql_topk_indexed",
+                lambda: ql_dirichlet_indexed(spark, idx, QUERIES, k=10).collect(),
             )
 
         # q3: scan-mode BM25 (index-free EP1 path)

@@ -1026,3 +1026,34 @@ def test_ql_indexed_shard_grouping_matches_query_shard(spark, index_dir, corpus_
     b = ql_dirichlet_indexed(spark, idx, queries, k=10, grouping="shard", n_shards=4).collect()
     key = lambda rows: sorted((r.query_id, r.rank, r.doc_key, round(r.score, 9)) for r in rows)
     assert key(a) == key(b)
+
+
+def test_cache_registry_concurrent_register(spark):
+    """CacheRegistry under concurrent registration: no exceptions, bounded
+    retention, every evicted frame actually unpersisted exactly once."""
+    import threading
+
+    from simplir_spark.cacheutil import CacheRegistry
+
+    reg = CacheRegistry(retain=4)
+    dfs = [spark.range(10 + i).persist() for i in range(32)]
+    for d in dfs:
+        d.count()
+    errs = []
+
+    def worker(chunk):
+        try:
+            for d in chunk:
+                reg.register(d)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(dfs[i::4],)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(reg) == 4  # retention bound holds after concurrent churn
+    for d in dfs:
+        d.unpersist()
