@@ -367,6 +367,22 @@ def q_ql_nosmoothing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rename_key(res.select("query_id", "doc_key", "rank", "score"))
 
 
+def q_ql_smoothing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three non-Dirichlet QL smoothing variants (JM / Laplace /
+    NoSmoothing, QueryLikelihood.hs:33-47) folded into one contract entry
+    with a `smoothing` discriminator column, so each variant keeps full
+    driver oracle coverage inside the 50-entry check window."""
+    parts = [
+        q_ql_jm_topk(spark, sf_dir).withColumn("smoothing", F.lit("jm")),
+        q_ql_laplace_topk(spark, sf_dir).withColumn("smoothing", F.lit("laplace")),
+        q_ql_nosmoothing_topk(spark, sf_dir).withColumn("smoothing", F.lit("nosmoothing")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """term_stats with the reference's 418-word InQuery stopword list
     applied (simplir-stop-words/data/inquery-en.txt via StopWords.hs:9-20,
@@ -397,6 +413,20 @@ def q_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     run, qrels = _run_and_qrels(spark, sf_dir)
     rr = reciprocal_rank(run, qrels)
     return rr.select("qid", F.round("rr", DP).alias("rr"))
+
+
+def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P@k and RR folded into one per-query contract entry (shared run +
+    qrels), keeping both metrics oracle-checked inside the driver's
+    50-entry window."""
+    from simplir_spark.operators.evaluation import precision_at_k, reciprocal_rank
+
+    run, qrels = _run_and_qrels(spark, sf_dir)
+    p = precision_at_k(run, qrels, K).select(
+        "qid", F.round(f"p_at_{K}", DP).alias("p_at_k")
+    )
+    r = reciprocal_rank(run, qrels).select("qid", F.round("rr", DP).alias("rr"))
+    return p.join(r, "qid")
 
 
 def _run_and_qrels(spark: SparkSession, sf_dir: str):
@@ -537,6 +567,39 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items", "n_raters", F.round("p_bar", DP).alias("p_bar"),
         F.round("p_e", DP).alias("p_e"), F.round("kappa", DP).alias("kappa"),
     )
+
+
+def q_kappa_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's and Fleiss' kappa (Agreement.hs) folded into one single-row
+    contract entry (cross join of the two single-row results, columns
+    prefixed) so both stay oracle-checked in the driver window."""
+    c = q_cohen_kappa(spark, sf_dir).select(
+        F.col("n_items").alias("cohen_n_items"),
+        F.col("po").alias("cohen_po"),
+        F.col("pe").alias("cohen_pe"),
+        F.col("kappa").alias("cohen_kappa"),
+    )
+    f = q_fleiss_kappa(spark, sf_dir).select(
+        F.col("n_items").alias("fleiss_n_items"),
+        F.col("n_raters").alias("fleiss_n_raters"),
+        F.col("p_bar").alias("fleiss_p_bar"),
+        F.col("p_e").alias("fleiss_p_e"),
+        F.col("kappa").alias("fleiss_kappa"),
+    )
+    return c.crossJoin(f)
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis metrics (quality, Gopher repetition,
+    language ID, token counts) folded into one wide contract entry — all
+    four operators stay individually exercised and oracle-checked; the
+    join keys align because every sub-query covers the full documents
+    table."""
+    tq = q_text_quality(spark, sf_dir)
+    rep = q_repetition_stats(spark, sf_dir).drop("n_tokens")
+    lid = q_lang_id(spark, sf_dir)
+    tc = q_token_counts(spark, sf_dir)
+    return tq.join(rep, "doc_id").join(lid, "doc_id").join(tc, "doc_id")
 
 
 def _l2r_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,6 +783,16 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(_emb_with_neardups(spark, sf_dir), threshold=0.9, method="lsh")
 
 
+def q_embedding_neardup_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute and LSH near-dup paths folded into one contract entry with a
+    `method` discriminator: both produce the exact pair set on this
+    fixture (see q_embedding_neardup_lsh), so the oracle is the brute
+    pair SQL crossed with the two method labels."""
+    b = q_embedding_neardup(spark, sf_dir).withColumn("method", F.lit("brute"))
+    l = q_embedding_neardup_lsh(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    return b.unionByName(l)
+
+
 # parametric template: weight + BM25 k1/b resolved per parameter set
 # (Parametric.hs grid evaluation — queries × paramsets in ONE pass)
 DSL_GRID_TEMPLATE = {
@@ -838,7 +911,23 @@ def q_trec_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Contract registry. INVARIANT: the driver oracle-checks only the
+    first 50 entries (in dict order) — keep len(queries()) <= 50 so every
+    entry is checked every round (r4 lesson: 55 entries silently dropped 5
+    from coverage). Same-shaped variants are folded into single entries
+    with a discriminator column (ql_smoothing_topk, rank_metrics,
+    kappa_stats, text_metrics, embedding_neardup) rather than rotated.
+    Newest / most-churned entries go first."""
     return {
+        "ql_dirichlet_topk_indexed": q_ql_dirichlet_topk_indexed,
+        "query_dsl_grid": q_query_dsl_grid,
+        "merge_rankings": q_merge_rankings,
+        "doc_embeddings": q_doc_embeddings,
+        "embedding_neardup": q_embedding_neardup_both,
+        "ql_smoothing_topk": q_ql_smoothing_topk,
+        "rank_metrics": q_rank_metrics,
+        "kappa_stats": q_kappa_stats,
+        "text_metrics": q_text_metrics,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "doc_lengths": q_doc_lengths,
@@ -851,8 +940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_cosine_topk": q_embedding_cosine_topk,
-        "text_quality": q_text_quality,
-        "repetition_stats": q_repetition_stats,
         "doc_chunks": q_doc_chunks,
         "corpus_sample": q_corpus_sample,
         "seq_packing": q_seq_packing,
@@ -866,34 +953,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_dsl": q_query_dsl,
         "query_dsl_features": q_query_dsl_features,
         "query_dsl_phrase": q_query_dsl_phrase,
-        "ql_jm_topk": q_ql_jm_topk,
-        "ql_laplace_topk": q_ql_laplace_topk,
-        "ql_nosmoothing_topk": q_ql_nosmoothing_topk,
         "stopword_stats": q_stopword_stats,
-        "lang_id": q_lang_id,
         "html_clean": q_html_clean,
         "bag_ops": q_bag_ops,
         "lm_cross_entropy": q_lm_cross_entropy,
         "decontaminate": q_decontaminate,
-        "prec_at_k": q_prec_at_k,
-        "reciprocal_rank": q_reciprocal_rank,
         "winnowing": q_winnowing,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "phrase_match": q_phrase_match,
-        "cohen_kappa": q_cohen_kappa,
-        "fleiss_kappa": q_fleiss_kappa,
         "l2r_weights": q_l2r_weights,
         "l2r_znorm": q_l2r_znorm,
         "l2r_kfold": q_l2r_kfold,
-        "token_counts": q_token_counts,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "query_dsl_grid": q_query_dsl_grid,
-        "doc_embeddings": q_doc_embeddings,
-        "merge_rankings": q_merge_rankings,
-        "ql_dirichlet_topk_indexed": q_ql_dirichlet_topk_indexed,
     }
 
 
@@ -2053,5 +2125,48 @@ def oracle_sql() -> dict[str, str]:
     FROM nonempty n
     JOIN q ON q.term = n.tok
     JOIN run r ON r.query_id = q.query_id AND r.doc_id = n.doc_id
+    """
+
+    # -------------------------------------------------------------------
+    # Folded entries (r5): same-shaped variants composed into single
+    # registry rows so the whole contract fits the driver's 50-entry
+    # oracle window. Each fold reuses the variant SQLs verbatim — the
+    # individual operators stay fully oracle-checked, just under one key.
+    # -------------------------------------------------------------------
+    sql["ql_smoothing_topk"] = f"""
+    SELECT 'jm' AS smoothing, * FROM ({sql.pop("ql_jm_topk")})
+    UNION ALL SELECT 'laplace' AS smoothing, * FROM ({sql.pop("ql_laplace_topk")})
+    UNION ALL SELECT 'nosmoothing' AS smoothing, * FROM ({sql.pop("ql_nosmoothing_topk")})
+    """
+
+    sql["rank_metrics"] = f"""
+    SELECT p.qid, p.p_at_k, r.rr
+    FROM ({sql.pop("prec_at_k")}) p
+    JOIN ({sql.pop("reciprocal_rank")}) r USING (qid)
+    """
+
+    sql["kappa_stats"] = f"""
+    SELECT c.n_items AS cohen_n_items, c.po AS cohen_po, c.pe AS cohen_pe,
+           c.kappa AS cohen_kappa,
+           f.n_items AS fleiss_n_items, f.n_raters AS fleiss_n_raters,
+           f.p_bar AS fleiss_p_bar, f.p_e AS fleiss_p_e, f.kappa AS fleiss_kappa
+    FROM ({sql.pop("cohen_kappa")}) c CROSS JOIN ({sql.pop("fleiss_kappa")}) f
+    """
+
+    sql["text_metrics"] = f"""
+    SELECT tq.*, rep.dup_token_frac, rep.dup_2gram_frac, rep.dup_3gram_frac,
+           lid.lang_pred, lid.lang_score, tc.n_ws, tc.n_bpe
+    FROM ({sql.pop("text_quality")}) tq
+    JOIN ({sql.pop("repetition_stats")}) rep USING (doc_id)
+    JOIN ({sql.pop("lang_id")}) lid USING (doc_id)
+    JOIN ({sql.pop("token_counts")}) tc USING (doc_id)
+    """
+
+    # brute and LSH produce the exact pair set on this fixture (planted
+    # dups at cos~0.9997 all share a band) — one pair SQL, two labels
+    _neardup_pairs = sql.pop("embedding_neardup_lsh")
+    sql["embedding_neardup"] = f"""
+    SELECT m.method, p.* FROM ({_neardup_pairs}) p
+    CROSS JOIN (SELECT 'brute' AS method UNION ALL SELECT 'lsh') m
     """
     return sql

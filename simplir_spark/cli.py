@@ -136,6 +136,11 @@ def _parse_feature_files(pairs: list[str]) -> list[tuple[str, str]]:
         name, sep, path = s.partition("=")
         if not sep or not name or not path:
             raise SystemExit(f"mal-formed feature file (expect NAME=PATH): {s}")
+        if name in ("qid", "doc"):
+            # reserved: these are the join-key columns of the feature
+            # table — a feature of the same name would collide in the
+            # null-count select with a confusing analysis error
+            raise SystemExit(f"reserved feature name: {name}")
         out.append((name, path))
     if len({n for n, _ in out}) != len(out):
         raise SystemExit("duplicate feature")  # Learn2Rank.hs fromListWith error

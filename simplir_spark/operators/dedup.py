@@ -11,6 +11,8 @@ designed around one bounded shuffle:
  * minhash_lsh_pairs     — banded LSH bucketing -> candidate pairs
  * simhash64             — 60-bit simhash fingerprint per doc
  * simhash_near_pairs    — Hamming-distance candidate pairs via band keys
+ * connected_components  — large-star/small-star CC over a pair table
+ * neardup_resolve       — pairs -> (cluster_id, canonical_id, keep) per doc
 
 Hashes are md5-derived (first 15 hex chars -> 60-bit int) so a DuckDB
 oracle can reproduce them exactly; at production scale you'd swap in
@@ -260,4 +262,116 @@ def simhash_near_pairs(
         cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every id appearing in ``pairs``; cluster_id is
+    the MINIMUM id of the connected component (matching
+    ``exact_duplicates``' canonical = min-id semantics).
+
+    Algorithm: alternating large-star / small-star edge rewriting (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    converges to per-component star graphs in O(log n) rounds with only
+    DataFrame groupBy/join per round: no driver-side graph, no vertex
+    broadcast, no GraphFrames dependency.  Each round localCheckpoints the
+    edge set to truncate lineage (on a real cluster point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and swap in
+    ``checkpoint()``); the fixpoint test is one tiny aggregate
+    (count + hash-sum signature) per round.
+
+    Shuffle shape per round: symmetrize (no shuffle, union) -> groupBy(u)
+    min (map-side combinable) -> join back on u -> distinct.  Edge count
+    is non-increasing after the first round; hot components (a node with
+    huge degree) are exactly the case large-star handles — it splits the
+    big neighborhood by pointing every neighbor at the component min
+    instead of funneling through one node.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = e.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u points at m = min(N(u) + {u})
+        nbrs = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("_mv"))
+        mins = mins.select("u", F.least("u", "_mv").alias("m"))
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the now big->small directed edges: u and all its
+        # (smaller) neighbors point at the smallest neighbor
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=True)
+        sig = edges.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("s"),
+        ).collect()[0]
+        sig = (sig["n"], sig["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # star fixpoint: (u, root) edges; roots label themselves.  min() guards
+    # the (max_iter exhausted before fixpoint) case where a node could
+    # still carry two labels — with the fixpoint break it is 1:1.
+    labels = edges.select("u", F.col("v").alias("cluster_id")).union(
+        edges.select(F.col("v").alias("u"), F.col("v").alias("cluster_id"))
+    )
+    return labels.groupBy("u").agg(F.min("cluster_id").alias("cluster_id"))
+
+
+def neardup_resolve(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-duplicate KEEP/DROP resolution: close the gap between a pair
+    table (``minhash_lsh_pairs`` / ``simhash_near_pairs`` /
+    ``cosine_neardup_pairs`` output) and an actually-deduplicated corpus.
+
+    Returns (id, cluster_id, canonical_id, keep) for EVERY doc id in
+    ``docs``: transitive near-dup clusters via ``connected_components``,
+    canonical = min id per cluster (the near-dup analog of
+    ``exact_duplicates``), keep = 1 iff the doc is its cluster's
+    canonical.  Docs in no pair form singleton clusters and are kept.
+
+    Scale: the only new shuffle beyond CC is one left join of the slim
+    (id) projection against the CC label table.
+    """
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b).withColumnRenamed(
+        "u", id_col
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        docs.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            cluster.alias("cluster_id"),
+            cluster.alias("canonical_id"),
+            (cluster == F.col(id_col)).cast("int").alias("keep"),
+        )
     )

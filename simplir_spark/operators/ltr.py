@@ -628,9 +628,16 @@ def learn_to_rank(
     criterion `relChangeBelow threshold . maxIterations maxIter .
     dropIterations dropIter` (defaultConvergence, with the reference's
     CLI defaults 1e-2 / 100 / 2), NaN-checked (checkNans), returning the
-    LAST surviving iterate — the reference's exact semantics, which keeps
-    the converged model rather than cherry-picking the best full-set
-    score.
+    LAST surviving iterate.
+
+    DELIBERATE DEVIATION: upstream's `checkedConvergence = untilConverged
+    checkNans . convergence` truncates the converged stream to its first
+    TWO elements (checkNans is always-True), so the reference effectively
+    stops after ~2 evaluated post-drop iterations regardless of the
+    convergence test.  We instead iterate until the composed criterion
+    actually cuts the stream and keep that converged model — saner
+    training semantics; rank outputs differ from upstream only through
+    the extra ascent iterations.
 
     Raises ValueError on an immediately-empty iterate stream or a NaN
     metric, mirroring the reference's errors.

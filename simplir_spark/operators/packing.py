@@ -98,18 +98,36 @@ def with_cumulative_offsets(
     order_col: str,
     len_col: str,
     range_size: int = 1 << 20,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Exact global exclusive prefix sum of ``len_col`` in ``order_col``
     order, WITHOUT a global single-task window: per-range totals are
     aggregated distributively, exclusive-scanned on the driver (one tiny
     row per ``range_size`` of the order key), and broadcast back; the
-    in-range remainder is a range-partitioned window.  Requires a
-    non-negative integer ``order_col`` (e.g. the dense ``did``).
+    in-range remainder is a range-partitioned window.
+
+    HARD REQUIREMENT: ``order_col`` must be a non-negative integer that is
+    UNIQUE per row (e.g. the dense ``did``).  Duplicate order keys make the
+    offset split among tied rows engine/run-dependent — pass
+    ``validate_unique=True`` to enforce this with one extra aggregate job
+    (off by default: it is a full pass over the table).
 
     Adds column ``start_offset``.
     """
     spark = df.sparkSession
-    rid = (F.col(order_col) / F.lit(range_size)).cast("long")
+    if validate_unique:
+        dup = (
+            df.groupBy(order_col).count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"with_cumulative_offsets: order_col {order_col!r} has "
+                f"duplicate value {dup[0][0]!r}; offsets among tied rows "
+                "would be nondeterministic"
+            )
+    # integer `div`, not double `/`: double division loses exactness past
+    # 2^53, within reach of the 10^12-doc corpora this module targets
+    rid = F.expr(f"`{order_col}` div {int(range_size)}").cast("long")
     totals = {
         int(r["_rid"]): int(r["_sum"])
         for r in df.select(rid.alias("_rid"), F.col(len_col).alias("_l"))
@@ -144,17 +162,21 @@ def pack_sequences(
     order_col: str = "did",
     len_col: str = "doc_len",
     range_size: int = 1 << 20,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Assign each document to a fixed token-budget training bin:
     ``bin_id = start_offset // token_budget`` over the exact global
     cumulative token offset in ``order_col`` order (offset-based packing
     — a document starting inside a bin belongs to it; deterministic,
     engine-independent, and computable without a global sort via
-    ``with_cumulative_offsets``).
+    ``with_cumulative_offsets``; ``order_col`` must be unique per row,
+    see there).
 
     Output adds (start_offset, bin_id).
     """
-    out = with_cumulative_offsets(df, order_col, len_col, range_size)
+    out = with_cumulative_offsets(
+        df, order_col, len_col, range_size, validate_unique=validate_unique
+    )
     return out.withColumn(
-        "bin_id", (F.col("start_offset") / F.lit(token_budget)).cast("long")
+        "bin_id", F.expr(f"start_offset div {int(token_budget)}").cast("long")
     )

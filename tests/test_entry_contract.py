@@ -76,3 +76,14 @@ def test_query_matches_oracle(spark, con, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_registry_fits_driver_window():
+    """The driver oracle-checks only the FIRST 50 registry entries; a
+    larger registry silently drops the tail from coverage (round-4
+    lesson). Guard the invariant here so it fails loudly instead."""
+    qs = entrymod.queries()
+    assert len(qs) <= 50, (
+        f"queries() has {len(qs)} entries — driver checks only the first "
+        "50; fold same-shaped variants instead of growing past the window"
+    )
