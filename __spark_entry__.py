@@ -150,6 +150,25 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(minhash_signatures(sh, n_hashes=16), n_bands=4)
 
 
+def q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keep/drop resolution over the MinHash-LSH pair table:
+    transitive clusters via large-star/small-star connected components,
+    canonical = min doc id per cluster, keep = 1 iff canonical — the step
+    that turns similarity pairs into an actually-deduplicated corpus.
+    Oracle: DuckDB recursive-CTE transitive closure over the same pairs."""
+    from simplir_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        neardup_resolve,
+        ngram_shingles,
+    )
+
+    sh = ngram_shingles(_tokenized_docs(spark, sf_dir), n=3)
+    pairs = minhash_lsh_pairs(minhash_signatures(sh, n_hashes=16), n_bands=4)
+    docs = _documents(spark, sf_dir).select("doc_id")
+    return neardup_resolve(docs, pairs)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplir_spark.operators.dedup import simhash64
 
@@ -216,6 +235,22 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_size=128,
     )
     return out.select("doc_id", "doc_len", "start_offset", "bin_id")
+
+
+def q_pack_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget packing: boundary-straddling docs split into per-bin
+    segments so every bin totals exactly the token budget (last bin may be
+    short) — what a training dataloader consumes; per-doc/per-bin tiling
+    invariants are property-tested in tests/test_packing.py."""
+    from simplir_spark.operators.packing import pack_exact
+
+    dl = _tokenized_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "doc_len"
+    )
+    return pack_exact(
+        dl, token_budget=256, order_col="doc_id", len_col="doc_len",
+        range_size=128,
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Newest / most-churned entries go first."""
     return {
         "ql_dirichlet_topk_indexed": q_ql_dirichlet_topk_indexed,
+        "neardup_resolve": q_neardup_resolve,
         "query_dsl_grid": q_query_dsl_grid,
         "merge_rankings": q_merge_rankings,
         "doc_embeddings": q_doc_embeddings,
@@ -943,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "corpus_sample": q_corpus_sample,
         "seq_packing": q_seq_packing,
+        "pack_exact": q_pack_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "doclen_histogram": q_doclen_histogram,
         "trec_run": q_trec_run,
@@ -1446,6 +1483,36 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, doc_len, start_offset,
            CAST(start_offset // 2048 AS BIGINT) AS bin_id
     FROM cum
+    """
+
+    sql["pack_exact"] = """
+    WITH tk AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> length(x) > 2))
+               AS doc_len
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, doc_len,
+             CAST(coalesce(sum(doc_len) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM tk
+    ),
+    seg AS (
+      SELECT doc_id, doc_len, start_offset, b AS bin_id
+      FROM cum,
+           unnest(generate_series(start_offset // 256,
+                                  (start_offset + doc_len - 1) // 256)) AS g(b)
+      WHERE doc_len > 0
+    )
+    SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len, start_offset,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(greatest(start_offset, bin_id * 256) - start_offset AS BIGINT)
+             AS tok_start,
+           CAST(least(start_offset + doc_len, (bin_id + 1) * 256)
+                - greatest(start_offset, bin_id * 256) AS BIGINT) AS seg_len
+    FROM seg
     """
 
     sql["doclen_histogram"] = f"""
@@ -2160,6 +2227,28 @@ def oracle_sql() -> dict[str, str]:
     JOIN ({sql.pop("repetition_stats")}) rep USING (doc_id)
     JOIN ({sql.pop("lang_id")}) lid USING (doc_id)
     JOIN ({sql.pop("token_counts")}) tc USING (doc_id)
+    """
+
+    # independent CC oracle: recursive-CTE transitive closure over the
+    # SAME MinHash-LSH pair SQL (UNION-dedup recursion terminates on the
+    # finite node set); cluster = min reachable id, singletons keep
+    sql["neardup_resolve"] = f"""
+    WITH RECURSIVE pr AS ({sql["minhash_lsh"]}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pr
+      UNION SELECT id_b, id_a FROM pr
+    ),
+    cc AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, c.label FROM edges e JOIN cc c ON c.u = e.v
+    ),
+    lab AS (SELECT u AS doc_id, min(label) AS cluster_id FROM cc GROUP BY u)
+    SELECT d.doc_id,
+           coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(l.cluster_id, d.doc_id) AS canonical_id,
+           CAST(coalesce(l.cluster_id, d.doc_id) = d.doc_id AS INTEGER) AS keep
+    FROM documents d LEFT JOIN lab l USING (doc_id)
     """
 
     # brute and LSH produce the exact pair set on this fixture (planted

@@ -326,7 +326,8 @@ def connected_components(
         edges = small.localCheckpoint(eager=True)
         sig = edges.select(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("s"),
+            # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
         sig = (sig["n"], sig["s"])
         if sig == prev_sig:

@@ -180,3 +180,60 @@ def pack_sequences(
     return out.withColumn(
         "bin_id", F.expr(f"start_offset div {int(token_budget)}").cast("long")
     )
+
+
+def pack_exact(
+    df: DataFrame,
+    token_budget: int,
+    order_col: str = "did",
+    len_col: str = "doc_len",
+    range_size: int = 1 << 20,
+    validate_unique: bool = False,
+) -> DataFrame:
+    """EXACT-budget packing: split boundary-straddling documents so every
+    bin holds exactly ``token_budget`` tokens (only the corpus-final bin
+    may be short) — the form a training dataloader consumes directly,
+    closing ``pack_sequences``' documented start-bin overflow.
+
+    One output row per (document, bin) overlap segment:
+
+      (order_col, len_col, start_offset, bin_id, tok_start, seg_len)
+
+    where ``tok_start`` is the 0-based in-document token offset of the
+    segment and ``seg_len`` its length.  Invariants (tested): per-bin
+    sum(seg_len) == token_budget except the last bin; per-doc
+    sum(seg_len) == doc_len (every input token lands in exactly one
+    segment); zero-length documents emit no rows.
+
+    Scale: cumulative offsets come from the distributed two-pass prefix
+    sum; the split itself is a pure per-row explode over
+    sequence(first_bin, last_bin) — no additional shuffle, and the fan-out
+    per row is ceil(doc_len / token_budget) + 1 segments at most.
+    """
+    out = with_cumulative_offsets(
+        df, order_col, len_col, range_size, validate_unique=validate_unique
+    )
+    B = int(token_budget)
+    first_bin = F.expr(f"start_offset div {B}")
+    last_bin = F.expr(f"(start_offset + `{len_col}` - 1) div {B}")
+    out = out.withColumn(
+        "bin_id",
+        F.explode(
+            F.when(
+                F.col(len_col) > 0,
+                F.sequence(first_bin, last_bin),
+            ).otherwise(F.array().cast("array<long>"))
+        ),
+    )
+    seg_lo = F.greatest(F.col("start_offset"), F.col("bin_id") * B)
+    seg_hi = F.least(
+        F.col("start_offset") + F.col(len_col), (F.col("bin_id") + 1) * B
+    )
+    return out.select(
+        order_col,
+        len_col,
+        "start_offset",
+        F.col("bin_id").cast("long").alias("bin_id"),
+        (seg_lo - F.col("start_offset")).cast("long").alias("tok_start"),
+        (seg_hi - seg_lo).cast("long").alias("seg_len"),
+    )

@@ -173,3 +173,84 @@ def test_ivf_topk_recall_vs_brute(spark):
     a2 = {(r.query_id, r.neighbor_id) for r in ivf_topk(
         emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=4).collect()}
     assert a == a2
+
+
+# ---------------------------------------------------------------------------
+# connected components / near-dup resolution
+# ---------------------------------------------------------------------------
+
+def test_cc_chain_transitivity(spark):
+    """A-B-C chain where A and C share NO pair: transitivity must still
+    put all three in one cluster (the planted-chain case from the brief)."""
+    from simplir_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("docA", "docB"), ("docB", "docC")], "id_a string, id_b string"
+    )
+    got = {r["u"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {"docA": "docA", "docB": "docA", "docC": "docA"}
+
+
+def test_cc_long_chain_and_multiple_components(spark):
+    """A 30-node path graph (worst case for naive propagation) plus a
+    separate triangle: large-star/small-star must converge within the
+    iteration cap and keep components separate."""
+    from simplir_spark.operators.dedup import connected_components
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)]
+    tri = [("z1", "z2"), ("z2", "z3"), ("z1", "z3")]
+    pairs = spark.createDataFrame(chain + tri, "id_a string, id_b string")
+    got = {r["u"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert {got[f"n{i:02d}"] for i in range(30)} == {"n00"}
+    assert {got[z] for z in ("z1", "z2", "z3")} == {"z1"}
+    assert len(got) == 33
+
+
+def test_cc_hot_node_star(spark):
+    """One node paired with 200 others (hot-key shape): single cluster,
+    canonical = min id."""
+    from simplir_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(f"m{i:03d}", "hub") for i in range(1, 201)], "id_a string, id_b string"
+    )
+    got = {r["u"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {"hub"}  # 'hub' < 'm001'
+    assert len(got) == 201
+
+
+def test_neardup_resolve_keep_flags(spark):
+    """keep = 1 exactly for each cluster's min id; unpaired docs are kept
+    singletons; every doc appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.operators.dedup import neardup_resolve
+
+    docs = spark.createDataFrame(
+        [(d,) for d in ["a", "b", "c", "p", "q", "solo"]], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("p", "q")], "id_a string, id_b string"
+    )
+    rows = neardup_resolve(docs, pairs).collect()
+    assert len(rows) == 6
+    by_id = {r["doc_id"]: r for r in rows}
+    assert all(r["canonical_id"] == r["cluster_id"] for r in rows)
+    assert {r["doc_id"] for r in rows if r["keep"] == 1} == {"a", "p", "solo"}
+    assert by_id["c"]["cluster_id"] == "a"
+    assert by_id["q"]["cluster_id"] == "p"
+    assert by_id["solo"]["cluster_id"] == "solo"
+    # dedup'd corpus = filter keep: one row per cluster
+    kept = neardup_resolve(docs, pairs).filter(F.col("keep") == 1).count()
+    assert kept == 3
+
+
+def test_cc_empty_pairs(spark):
+    from simplir_spark.operators.dedup import connected_components, neardup_resolve
+
+    pairs = spark.createDataFrame([], "id_a string, id_b string")
+    assert connected_components(pairs).count() == 0
+    docs = spark.createDataFrame([("x",), ("y",)], "doc_id string")
+    rows = {r["doc_id"]: r for r in neardup_resolve(docs, pairs).collect()}
+    assert rows["x"]["keep"] == 1 and rows["x"]["cluster_id"] == "x"
+    assert len(rows) == 2

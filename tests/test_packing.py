@@ -143,3 +143,79 @@ def test_sample_deterministic_rate_monotone(spark):
     k30 = {r.doc_id for r in sample_deterministic(df, 0.3, seed=9).collect()}
     k60 = {r.doc_id for r in sample_deterministic(df, 0.6, seed=9).collect()}
     assert k10 <= k30 <= k60
+
+
+# ---------------------------------------------------------------------------
+# pack_exact
+# ---------------------------------------------------------------------------
+
+def _mk_lens(spark, lens):
+    return spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lens)], "did long, doc_len long"
+    )
+
+
+def test_pack_exact_bins_never_exceed_budget(spark):
+    """Every bin sums to exactly the budget except the corpus-final bin;
+    includes docs longer than several budgets and zero-length docs."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.operators.packing import pack_exact
+
+    lens = [100, 0, 900, 3, 260, 0, 17, 513]
+    out = pack_exact(_mk_lens(spark, lens), token_budget=256, range_size=4)
+    bins = {
+        r["bin_id"]: r["s"]
+        for r in out.groupBy("bin_id").agg(F.sum("seg_len").alias("s")).collect()
+    }
+    total = sum(lens)
+    last = max(bins)
+    assert set(bins) == set(range(last + 1)), "bins must be contiguous from 0"
+    for b, s in bins.items():
+        if b < last:
+            assert s == 256, (b, s)
+        else:
+            assert 0 < s <= 256
+    assert sum(bins.values()) == total
+
+
+def test_pack_exact_covers_every_token_once(spark):
+    """Per-doc segments tile [0, doc_len) exactly: sorted by bin, they are
+    contiguous, start at 0, and sum to doc_len; empty docs emit no rows."""
+    from collections import defaultdict
+
+    from simplir_spark.operators.packing import pack_exact
+
+    lens = [5, 1000, 0, 256, 255, 257, 42]
+    rows = pack_exact(_mk_lens(spark, lens), token_budget=256, range_size=2).collect()
+    segs = defaultdict(list)
+    for r in rows:
+        segs[r["did"]].append((r["bin_id"], r["tok_start"], r["seg_len"]))
+    assert 2 not in segs  # the empty doc
+    for did, ss in segs.items():
+        ss.sort()
+        assert ss[0][1] == 0
+        pos = 0
+        for _, tok_start, seg_len in ss:
+            assert tok_start == pos and seg_len > 0
+            pos += seg_len
+        assert pos == lens[did]
+    assert set(segs) == {i for i, l in enumerate(lens) if l > 0}
+
+
+def test_pack_exact_matches_pack_sequences_start_bin(spark):
+    """A doc's FIRST segment lands in the bin pack_sequences assigns the
+    whole doc to (same offset arithmetic upstream)."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.operators.packing import pack_exact, pack_sequences
+
+    lens = [100, 300, 256, 17, 900]
+    df = _mk_lens(spark, lens)
+    seq = {r["did"]: r["bin_id"] for r in pack_sequences(df, 256, order_col="did").collect()}
+    first = {
+        r["did"]: r["mn"]
+        for r in pack_exact(df, 256, order_col="did")
+        .groupBy("did").agg(F.min("bin_id").alias("mn")).collect()
+    }
+    assert first == {d: b for d, b in seq.items() if lens[d] > 0}
