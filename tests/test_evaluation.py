@@ -135,3 +135,139 @@ def test_map_differential_vs_naive_avgprec(spark):
     want_map = sum(naive.values()) / len(naive)
     assert m["n_queries"] == len(naive)
     assert abs(m["map"] - want_map) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# trec_eval differential (VersusTrecEval.hs:65-110 analog)
+# ---------------------------------------------------------------------------
+
+def _trec_eval_py(qrel_lines, run_lines, k):
+    """Independent pure-Python reimplementation of trec_eval's map / P_k /
+    recip_rank over TREC-format TEXT LINES (the external binary the
+    reference shells out to, SimplIR/TrecEval.hs:58-81, with
+    ExcludeMissingQueries).  Deliberately shares NO code with
+    simplir_spark.operators.evaluation: dict-and-sort, not windows/joins.
+
+    Returns (map_value_or_None, {qid: p_at_k}, {qid: rr}).
+    """
+    n_rel = {}
+    rel_docs = {}
+    for ln in qrel_lines:
+        qid, _, doc, rel = ln.split()
+        if int(rel) > 0:
+            rel_docs.setdefault(qid, set()).add(doc)
+            n_rel[qid] = n_rel.get(qid, 0) + 1
+    runs = {}
+    for ln in run_lines:
+        qid, _, doc, _rank, score, _m = ln.split()
+        runs.setdefault(qid, []).append((float(score), doc))
+    aps, p_at_k, rr = [], {}, {}
+    for qid, entries in runs.items():
+        # trec_eval re-sorts by score desc (doc desc tiebreak); the
+        # property generates distinct scores so ties never arise
+        ranked = [d for _, d in sorted(entries, key=lambda e: (-e[0], e[1], ))]
+        relset = rel_docs.get(qid, set())
+        hits = 0
+        ap_sum = 0.0
+        first_rel = None
+        for pos, doc in enumerate(ranked, start=1):
+            if doc in relset:
+                hits += 1
+                ap_sum += hits / pos
+                if first_rel is None:
+                    first_rel = pos
+        if n_rel.get(qid, 0) > 0:
+            aps.append(ap_sum / n_rel[qid])
+        p_at_k[qid] = sum(1 for d in ranked[:k] if d in relset) / k
+        rr[qid] = 0.0 if first_rel is None else 1.0 / first_rel
+    return (sum(aps) / len(aps) if aps else None), p_at_k, rr
+
+
+def _assessed_to_lines(queries):
+    """queries: {qid: (retrieved list, relevant set, judged set)} ->
+    (qrel_lines, run_lines) with distinct descending scores."""
+    qrels, run = [], []
+    for qid, (retrieved, relevant, judged) in queries.items():
+        for d in sorted(judged):
+            qrels.append(f"{qid} 0 {d} {1 if d in relevant else 0}")
+        for i, d in enumerate(retrieved):
+            run.append(f"{qid} Q0 {d} {i + 1} {-float(i + 1)} test")
+    return qrels, run
+
+
+def test_trec_eval_differential_hypothesis(spark, tmp_path):
+    """MAP / P@k / RR from the Spark engine, evaluated from an actual
+    TREC run FILE round-trip (write_trec_run -> read_trec_run), must match
+    the independent pure-Python trec_eval on the same lines within the
+    reference's 1e-2 relative tolerance (they should in fact be exact)."""
+    from hypothesis import given, settings, strategies as st
+
+    from simplir_spark.operators.evaluation import (
+        mean_average_precision,
+        precision_at_k,
+        reciprocal_rank,
+    )
+    from simplir_spark.sources.trec import read_qrels, read_trec_run
+
+    K = 3
+
+    @st.composite
+    def assessed(draw):
+        n_q = draw(st.integers(1, 3))
+        out = {}
+        for qi in range(n_q):
+            n_docs = draw(st.integers(1, 12))
+            docs = [f"doc-{qi}-{i}" for i in range(n_docs)]
+            relevant = {d for d in docs if draw(st.booleans())}
+            perm = draw(st.permutations(docs))
+            n_ret = draw(st.integers(1, n_docs))
+            out[f"q{qi}"] = (list(perm[:n_ret]), relevant, set(docs))
+        return out
+
+    case_n = [0]
+
+    @given(assessed())
+    @settings(max_examples=10, deadline=None)
+    def check(queries):
+        qrel_lines, run_lines = _assessed_to_lines(queries)
+        case_n[0] += 1
+        base = tmp_path / f"case{case_n[0]}"
+        (base).mkdir()
+        (base / "run.txt").write_text("\n".join(run_lines) + "\n")
+        (base / "qrels.txt").write_text("\n".join(qrel_lines) + "\n")
+        run = read_trec_run(spark, str(base / "run.txt"))
+        qrels = read_qrels(spark, str(base / "qrels.txt"))
+
+        want_map, want_p, want_rr = _trec_eval_py(qrel_lines, run_lines, K)
+
+        got_map = mean_average_precision(run, qrels).collect()[0]["map"]
+        if want_map is None:
+            assert got_map is None
+        else:
+            assert got_map == pytest.approx(want_map, rel=1e-2, abs=1e-9)
+
+        got_p = {r["qid"]: r[f"p_at_{K}"] for r in precision_at_k(run, qrels, K).collect()}
+        assert set(got_p) == set(want_p)
+        for qid in want_p:
+            assert got_p[qid] == pytest.approx(want_p[qid], rel=1e-2, abs=1e-9), qid
+
+        # engine RR omits queries with no relevant retrieved (trec_eval
+        # prints 0): compare emitted values, and require the omitted set
+        # to be exactly the rr==0 set
+        got_rr = {r["qid"]: r["rr"] for r in reciprocal_rank(run, qrels).collect()}
+        assert {q for q, v in want_rr.items() if v > 0} == set(got_rr)
+        for qid in got_rr:
+            assert got_rr[qid] == pytest.approx(want_rr[qid], rel=1e-2, abs=1e-9), qid
+
+    check()
+
+
+def test_trec_eval_py_known_value():
+    """Anchor the independent evaluator itself on a hand-computed case so
+    the differential can't pass by both sides being wrong the same way."""
+    qrels = ["q1 0 a 1", "q1 0 b 0", "q1 0 c 1", "q1 0 w 1"]
+    run = ["q1 Q0 a 1 -1.0 t", "q1 Q0 b 2 -2.0 t", "q1 Q0 c 3 -3.0 t"]
+    m, p, rr = _trec_eval_py(qrels, run, 2)
+    assert m == pytest.approx((1.0 + 2.0 / 3.0) / 3.0)  # R=3 incl. missed w
+    assert p["q1"] == pytest.approx(0.5)
+    assert rr["q1"] == pytest.approx(1.0)

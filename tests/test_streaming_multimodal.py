@@ -283,3 +283,91 @@ def test_bmp_codec_roundtrip_properties():
     assert (resize_nearest(rgb, 5, 5) == rgb).all()
     with pytest.raises(ValueError):
         bmp_decode(b"not a bmp")
+
+
+def test_real_png_decode_through_spark_plumbing(spark, monkeypatch):
+    """VERDICT r4 #5: the committed PNG fixture (mixed scanline filters
+    0-4) decodes through the full mapInPandas plumbing without the
+    fake-decode gate — pure numpy + stdlib zlib, no PIL."""
+    import os as _os
+
+    from simplir_spark.functions.imagecodec import image_features, png_decode
+    from simplir_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    monkeypatch.delenv("SIMPLIR_FAKE_DECODE", raising=False)
+    payload = open(
+        _os.path.join(_os.path.dirname(__file__), "data", "tiny.png"), "rb"
+    ).read()
+    rgb = png_decode(payload)
+    assert rgb.shape == (7, 5, 3)
+    # anchor on the analytic pattern the fixture was generated from, so a
+    # symmetric encode/decode bug cannot self-certify
+    for y in (0, 3, 6):
+        for x in (0, 2, 4):
+            assert tuple(rgb[y, x]) == (
+                (y * 40 + x) % 256, (x * 30) % 256, (255 - y * 35) % 256,
+            ), (y, x)
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", payload,
+          {"width": 5, "height": 7, "duration_ms": None})],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, dim=8).collect()[0]
+    assert row.feature == pytest.approx(image_features(rgb, 8))
+    assert row.feature[0] == 5.0 and row.feature[1] == 7.0
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Every PNG filter type (None/Sub/Up/Average/Paeth) and color path:
+    random images encoded with each single filter and with the mixed
+    cycle must decode bit-exactly; RGBA and grayscale sources decode via
+    hand-built chunks."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from simplir_spark.functions.imagecodec import PNG_MAGIC, png_decode, png_encode
+
+    rng = np.random.RandomState(11)
+    for f in [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]]:
+        for h, w in [(1, 1), (2, 7), (5, 3), (8, 8)]:
+            rgb = rng.randint(0, 256, size=(h, w, 3)).astype("uint8")
+            assert (png_decode(png_encode(rgb, filters=f)) == rgb).all(), (f, h, w)
+
+    def chunk(ctype, data):
+        return (_struct.pack(">I", len(data)) + ctype + data
+                + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # RGBA (color type 6): alpha dropped
+    h, w = 3, 2
+    rgba = rng.randint(0, 256, size=(h, w, 4)).astype("uint8")
+    lines = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    payload = (PNG_MAGIC
+               + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+               + chunk(b"IDAT", _zlib.compress(lines))
+               + chunk(b"IEND", b""))
+    assert (png_decode(payload) == rgba[:, :, :3]).all()
+
+    # grayscale (color type 0): replicated to RGB
+    gray = rng.randint(0, 256, size=(h, w)).astype("uint8")
+    lines = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    payload = (PNG_MAGIC
+               + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", _zlib.compress(lines))
+               + chunk(b"IEND", b""))
+    out = png_decode(payload)
+    assert (out[:, :, 0] == gray).all() and (out[:, :, 1] == gray).all()
+
+    # unsupported stays ValueError (palette type 3, interlaced)
+    bad = (PNG_MAGIC
+           + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)))
+    with pytest.raises(ValueError):
+        png_decode(bad)
+    inter = (PNG_MAGIC
+             + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)))
+    with pytest.raises(ValueError):
+        png_decode(inter)
+    with pytest.raises(ValueError):
+        png_decode(b"nope")
