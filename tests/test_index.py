@@ -1057,3 +1057,58 @@ def test_cache_registry_concurrent_register(spark):
     assert len(reg) == 4  # retention bound holds after concurrent churn
     for d in dfs:
         d.unpersist()
+
+
+def test_hot_query_shard_mass_balance(spark, tmp_path):
+    """Query-side skew (VERDICT r4 #6): a term with df = 50% of docs must
+    spread its posting mass evenly across did-range shards (runs are
+    bounded-width did ranges over a dense id space), and the two scoring
+    groupings must be rank-identical on a batch where EVERY query carries
+    the hot term."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.operators.index_build import build_index, open_index
+    from simplir_spark.operators.query_indexed import bm25_indexed
+
+    n_docs = 4000
+    fill = ["alpha", "bravo", "charlie", "delta"]
+    arr = F.array(*[F.lit(w) for w in fill])
+    corpus = spark.range(n_docs).select(
+        F.col("id").alias("doc_key"),
+        F.concat_ws(
+            " ",
+            F.element_at(arr, (F.col("id") % 4 + 1).cast("int")),
+            F.element_at(arr, (F.col("id") % 3 + 1).cast("int")),
+            F.when(F.col("id") % 2 == 0, F.lit("hotterm")).otherwise(F.lit("coldish")),
+        ).alias("content"),
+    )
+    idx_dir = str(tmp_path / "hotq_idx")
+    build_index(spark, corpus, idx_dir, n_partitions=8)
+    idx = open_index(spark, idx_dir)
+
+    n_shards = 8
+    span = max(1, -(-idx.doc_count // n_shards))
+    masses = [
+        int(r["mass"])
+        for r in idx.postings.filter(F.col("term") == "hotterm")
+        .select(F.expr(f"start_did div {span}").alias("shard"), "n")
+        .groupBy("shard")
+        .agg(F.sum("n").alias("mass"))
+        .collect()
+    ]
+    assert sum(masses) == n_docs // 2
+    mean = sum(masses) / len(masses)
+    assert max(masses) <= 3 * mean, masses
+
+    queries = [(f"H{i}", ["hotterm", w]) for i, w in enumerate(fill)]
+    a = sorted(
+        tuple(r)
+        for r in bm25_indexed(spark, idx, queries, k=10, grouping="query_shard")
+        .select("query_id", "doc_key", "rank").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in bm25_indexed(spark, idx, queries, k=10, grouping="shard")
+        .select("query_id", "doc_key", "rank").collect()
+    )
+    assert a == b and len(a) == 40
