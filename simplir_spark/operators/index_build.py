@@ -73,11 +73,15 @@ RUN_SIZE_DEFAULT = 1 << 14  # postings per run chunk — DiskIndex.hs:117-119
 # exploded postings in numpy while encoding, so partition size must scale
 # with this constant, not with corpus/shuffle-partitions.
 DOCS_PER_BUCKET_DEFAULT = 64_000
-# bucket_expr embeds the cuts as a literal array in the plan; cap the
-# auto-computed bucket count so the expression stays broadcastable.  At
-# 10^12 docs the cap yields ~30M docs/bucket — override n_partitions (and
-# accept a larger cuts array) or raise docs_per_bucket consciously.
-MAX_AUTO_PARTITIONS = 32_768
+# Auto bucket-count cap.  Below _BUCKET_UDF_MIN buckets the cuts ride the
+# plan as an array literal (bucket_expr); past it, routing switches to a
+# broadcast searchsorted pandas UDF (with_bucket_and_xb), so the plan stays
+# O(1)-sized at any bucket count and the old 32k literal ceiling is gone.
+# The remaining per-bucket driver terms (bucket_offsets collect, xkeys
+# probe, kernel offsets dict) are O(n_buckets) smallints — 1M buckets
+# (~67B docs at the default 64k docs/bucket) keeps them in the tens of MB;
+# override n_partitions/docs_per_bucket consciously beyond that.
+MAX_AUTO_PARTITIONS = 1 << 20
 
 
 # ---------------------------------------------------------------------------
@@ -271,11 +275,18 @@ def bucket_offsets(df: DataFrame, key_col: str, cuts: list[str]) -> dict[int, in
     """Per-bucket exclusive-scan offsets (Document.hs:62-76's mapAccumL).
 
     One column-pruned aggregation over ``key_col`` only — the heavy
-    columns never execute for this pass.
+    columns never execute for this pass.  Routes through
+    :func:`with_bucket_and_xb`, so past ``_BUCKET_UDF_MIN`` cuts the
+    assignment is the broadcast searchsorted UDF, not a plan literal.
     """
     counts = {
         int(r["_b"]): int(r["count"])
-        for r in df.select(bucket_expr(key_col, cuts).alias("_b")).groupBy("_b").count().collect()
+        for r in with_bucket_and_xb(
+            df.select(key_col), key_col, cuts, xkeys=None, bucket_col="_b"
+        )
+        .groupBy("_b")
+        .count()
+        .collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
@@ -308,6 +319,28 @@ def murmur3_int32(x: int, seed: int = 42) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
+def _murmur3_int32_np(xs: "np.ndarray", seed: int = 42) -> "np.ndarray":
+    """Vectorized :func:`murmur3_int32` over a uint64 array -> int64 of
+    the SIGNED int32 hashes (bit-identical to the scalar form; parity
+    test in tests/test_index.py)."""
+    m = np.uint32(0xFFFFFFFF)  # noqa: F841 — ops below are uint32-native
+    k = xs.astype(np.uint32)
+    with np.errstate(over="ignore"):
+        k = k * np.uint32(0xCC9E2D51)
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * np.uint32(0x1B873593)
+        h = np.uint32(seed) ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(4)  # len in bytes
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h.astype(np.int32).astype(np.int64)
+
+
 def probe_shuffle_keys(spark: SparkSession, n_buckets: int, n_partitions: int) -> list[int]:
     """For each bucket b find an int x_b with pmod(murmur3(x_b), P) == b.
 
@@ -315,18 +348,168 @@ def probe_shuffle_keys(spark: SparkSession, n_buckets: int, n_partitions: int) -
     pmod(Murmur3Hash(col, seed=42), P), so repartitioning on x_bucket maps
     bucket b exactly to partition b: one shuffle, perfectly aligned
     bucket->partition placement, no sampling pass.  Computed driver-side
-    with the pure-Python murmur3 (no Spark job).  Correctness never
-    depends on this mapping (the id kernel groups by bucket VALUE); only
-    balance does.
+    with VECTORIZED murmur3 probing (no Spark job): chunked ascending
+    scan, first x per partition wins — identical output to the scalar
+    loop, but the expected n*ln(n) probes stay numpy-side, which keeps
+    this viable at six-figure bucket counts (~16M probes at 1M buckets is
+    sub-second instead of ~30s of Python).  Correctness never depends on
+    this mapping (the id kernel groups by bucket VALUE); only balance
+    does.
     """
-    found: dict[int, int] = {}
-    x = 0
-    while len(found) < n_buckets:
-        p = murmur3_int32(x) % n_partitions  # python % is already pmod
-        if p < n_buckets and p not in found:
-            found[p] = x
-        x += 1
-    return [found[b] for b in range(n_buckets)]
+    found = np.full(n_buckets, -1, dtype=np.int64)
+    n_found = 0
+    x0 = 0
+    chunk = max(1 << 14, n_buckets)
+    while n_found < n_buckets:
+        xs = np.arange(x0, x0 + chunk, dtype=np.uint64)
+        p = _murmur3_int32_np(xs) % n_partitions  # numpy % is pmod here
+        mask = p < n_buckets
+        ps, cand = p[mask], xs[mask].astype(np.int64)
+        # np.unique(return_index) = FIRST occurrence per partition in this
+        # ascending chunk — preserves the scalar loop's first-x-wins rule
+        uniq, first = np.unique(ps, return_index=True)
+        vacant = found[uniq] == -1
+        found[uniq[vacant]] = cand[first[vacant]]
+        n_found = int((found != -1).sum())
+        x0 += chunk
+    return found.tolist()
+
+
+# At/above this cut count the routing switches from the array-literal
+# bucket expressions to a vectorized pandas UDF doing np.searchsorted
+# over a BROADCAST cuts array — O(1) plan size and log(n) C-side
+# comparisons per row at any bucket count, which removes the former 32k
+# literal ceiling outright.  Threshold from measurement
+# (BENCH/bucket_udf_route{,_long}.json, 2M rows x 16c): the UDF is flat
+# ~0.5s from 256 to 131k cuts while the sqrt literal grows 1.2s -> 24s,
+# but a whole-build interleaved A/B at 1024 buckets is a wash (routing
+# is buried under tokenize/encode), so the literal keeps the low range
+# where its zero fixed overhead wins and the plan stays UDF-free.
+_BUCKET_UDF_MIN = 4_096
+
+
+def _np_cuts(cuts: list) -> "np.ndarray":
+    arr = np.array(cuts)
+    return arr if arr.dtype.kind in ("U", "i") else np.array(cuts, dtype=object)
+
+
+def with_bucket_and_xb(
+    df: DataFrame,
+    key_col: str,
+    cuts: list,
+    xkeys: list[int] | None,
+    bucket_col: str = "_bucket",
+    xb_col: str = "_xb",
+) -> DataFrame:
+    """Attach (bucket, shuffle-key) columns for bucket-aligned routing
+    (``xkeys=None``: bucket column only, for slim aggregations).
+
+    Below ``_BUCKET_UDF_MIN`` cuts: the sqrt-decomposed JVM array-literal
+    scan (measured fastest; zero driver cost) + an xkeys array-literal
+    lookup.  At or above: ONE vectorized pandas UDF computes both via
+    np.searchsorted / take against sparkContext-BROADCAST arrays, so the
+    logical plan carries no bucket-count-sized literal at all — this is
+    what lifts the build past the former 32k-bucket ceiling (10^12 docs /
+    64k docs-per-bucket needs ~15.6M buckets; a literal that size chokes
+    Catalyst, a broadcast does not).
+    """
+    if len(cuts) < _BUCKET_UDF_MIN:
+        out = df.withColumn(bucket_col, bucket_expr(key_col, cuts))
+        if xkeys is None:
+            return out
+        return out.withColumn(
+            xb_col,
+            F.element_at(F.array([F.lit(x) for x in xkeys]), F.col(bucket_col) + 1),
+        )
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    bc_cuts = sc.broadcast(_np_cuts(cuts))
+    xk_np = (
+        np.zeros(len(cuts) + 1, dtype=np.int64)
+        if xkeys is None
+        else np.asarray(xkeys, dtype=np.int64)
+    )
+    assert len(xk_np) == len(cuts) + 1
+    bc_xk = sc.broadcast(xk_np)
+
+    @F.pandas_udf("bucket long, xb int")
+    def _route(keys: pd.Series) -> pd.DataFrame:
+        c = bc_cuts.value
+        k = keys.to_numpy()
+        k = k.astype("U") if c.dtype.kind == "U" else k.astype(c.dtype, copy=False)
+        b = np.searchsorted(c, k, side="right")
+        return pd.DataFrame(
+            {"bucket": b, "xb": bc_xk.value[b].astype(np.int32)}
+        )
+
+    tmp = df.withColumn("_route", _route(F.col(key_col)))
+    return (
+        tmp.withColumn(bucket_col, F.col("_route.bucket"))
+        .withColumn(xb_col, F.col("_route.xb"))
+        .drop("_route")
+    )
+
+
+def with_term_did_bucket_and_xb(
+    df: DataFrame,
+    cuts: list[tuple],
+    xkeys: list[int],
+    did_col: str = "start_did",
+    bucket_col: str = "_b",
+    xb_col: str = "_xb",
+) -> DataFrame:
+    """Run-routing twin of :func:`with_bucket_and_xb` for the lexicographic
+    (term, did) cut space.  The UDF path does a two-level searchsorted:
+    one C-side pass on the term alone, then per tied cut-term group a
+    vectorized did search (groups = cut terms present in the batch, inner
+    work fully vectorized)."""
+    if len(cuts) < _BUCKET_UDF_MIN:
+        return df.withColumn(bucket_col, term_did_bucket_expr(cuts, did_col=did_col)).withColumn(
+            xb_col,
+            F.element_at(F.array([F.lit(x) for x in xkeys]), F.col(bucket_col) + 1),
+        )
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    cut_terms = np.array([t for t, _ in cuts])
+    cut_dids = np.array([int(d) for _, d in cuts], dtype=np.int64)
+    bc_t = sc.broadcast(cut_terms)
+    bc_d = sc.broadcast(cut_dids)
+    bc_xk = sc.broadcast(np.asarray(xkeys, dtype=np.int64))
+
+    @F.pandas_udf("bucket long, xb int")
+    def _route(terms: pd.Series, dids: pd.Series) -> pd.DataFrame:
+        ct, cd = bc_t.value, bc_d.value
+        t = terms.to_numpy().astype("U")
+        d = dids.to_numpy().astype(np.int64)
+        lo = np.searchsorted(ct, t, side="left")
+        b = lo.astype(np.int64)
+        hi = np.searchsorted(ct, t, side="right")
+        tie = np.nonzero(hi > lo)[0]
+        if tie.size:
+            order = np.argsort(lo[tie], kind="stable")
+            sl = lo[tie][order]
+            sd = d[tie][order]
+            edges = np.nonzero(np.diff(sl))[0] + 1
+            starts = np.concatenate(([0], edges))
+            ends = np.concatenate((edges, [sl.size]))
+            res = np.empty(sl.size, dtype=np.int64)
+            for s, e in zip(starts, ends):
+                l = int(sl[s])
+                h = int(np.searchsorted(ct, ct[l], side="right"))
+                res[s:e] = l + np.searchsorted(cd[l:h], sd[s:e], side="right")
+            b[tie[order]] = res
+        return pd.DataFrame(
+            {"bucket": b, "xb": bc_xk.value[b].astype(np.int32)}
+        )
+
+    tmp = df.withColumn("_route", _route(F.col("term"), F.col(did_col)))
+    return (
+        tmp.withColumn(bucket_col, F.col("_route.bucket"))
+        .withColumn(xb_col, F.col("_route.xb"))
+        .drop("_route")
+    )
 
 
 def make_tokenize_assign_kernel(offsets: dict[int, int], carry_cols: list[str],
@@ -1181,8 +1364,7 @@ def _build_index_fused(
         from simplir_spark.functions.tokenize import jvm_clean_text_expr
 
         heavy = (
-            src.withColumn("_bucket", bucket_expr("doc_key", cuts))
-            .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_bucket") + 1))
+            with_bucket_and_xb(src, "doc_key", cuts, xkeys)
             .repartition(n_buckets, "_xb")
             .sortWithinPartitions("_bucket", "doc_key")
             .withColumn("_clean", jvm_clean_text_expr("content"))
@@ -1243,8 +1425,7 @@ def _build_index_fused(
             n_buckets = len(cuts) + 1
             xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
             return (
-                runs.withColumn("_b", term_did_bucket_expr(cuts, did_col="start_did"))
-                .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_b") + 1))
+                with_term_did_bucket_and_xb(runs, cuts, xkeys, did_col="start_did")
                 .repartition(n_buckets, "_xb")
                 .drop("_b", "_xb")
             )
@@ -1365,8 +1546,7 @@ def build_index(
             + f", {tok_fields}, doc_len int, doc_len_alnum int"
         )
         heavy = (
-            src.withColumn("_bucket", bucket_expr("doc_key", cuts))
-            .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_bucket") + 1))
+            with_bucket_and_xb(src, "doc_key", cuts, xkeys)
             .repartition(n_buckets, "_xb")
             .sortWithinPartitions("_bucket", "doc_key")
         )
@@ -1432,8 +1612,7 @@ def build_index(
         n_buckets = len(cuts) + 1
         xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
         return (
-            runs.withColumn("_b", term_did_bucket_expr(cuts, did_col="start_did"))
-            .withColumn("_xb", F.element_at(F.array([F.lit(x) for x in xkeys]), F.col("_b") + 1))
+            with_term_did_bucket_and_xb(runs, cuts, xkeys, did_col="start_did")
             .repartition(n_buckets, "_xb")
             .drop("_b", "_xb")
         )

@@ -1112,3 +1112,110 @@ def test_hot_query_shard_mass_balance(spark, tmp_path):
         .select("query_id", "doc_key", "rank").collect()
     )
     assert a == b and len(a) == 40
+
+
+# ---------------------------------------------------------------------------
+# UDF bucket routing (>32k-bucket path)
+# ---------------------------------------------------------------------------
+
+def test_murmur3_np_matches_scalar():
+    import numpy as np
+
+    from simplir_spark.operators.index_build import _murmur3_int32_np, murmur3_int32
+
+    xs = np.concatenate([np.arange(0, 2000, dtype=np.uint64),
+                         np.array([2**31 - 1, 2**31, 2**32 - 1], dtype=np.uint64)])
+    got = _murmur3_int32_np(xs)
+    want = [murmur3_int32(int(x)) for x in xs]
+    assert got.tolist() == want
+
+
+def test_probe_shuffle_keys_matches_scalar_loop(spark):
+    """The vectorized chunked probe must produce exactly the scalar
+    first-x-wins assignment."""
+    from simplir_spark.operators.index_build import murmur3_int32, probe_shuffle_keys
+
+    for n_buckets, n_parts in [(7, 7), (128, 128), (1000, 1000), (5, 16)]:
+        found: dict[int, int] = {}
+        x = 0
+        while len(found) < n_buckets:
+            p = murmur3_int32(x) % n_parts
+            if p < n_buckets and p not in found:
+                found[p] = x
+            x += 1
+        want = [found[b] for b in range(n_buckets)]
+        assert probe_shuffle_keys(spark, n_buckets, n_parts) == want, (n_buckets, n_parts)
+
+
+def test_udf_bucket_routing_matches_jvm(spark, monkeypatch):
+    """The broadcast-searchsorted UDF route (the >32k-bucket path) must
+    assign the same (bucket, xb) as the JVM array-literal route — string
+    keys, long keys, boundary-equal keys, and the lexicographic
+    (term, did) space with duplicate cut terms."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.operators import index_build as ib
+
+    keys_s = ["a", "ba", "bb", "bz", "c", "dd", "zz"]
+    cuts_s = ["bb", "c", "m"]
+    keys_l = [0, 5, 6, 7, 99, 100, 101]
+    cuts_l = [6, 100]
+    for keys, cuts in [(keys_s, cuts_s), (keys_l, cuts_l)]:
+        df = spark.createDataFrame([(k,) for k in keys], ["doc_key"])
+        xkeys = ib.probe_shuffle_keys(spark, len(cuts) + 1, len(cuts) + 1)
+        jvm = {
+            r["doc_key"]: (r["_bucket"], r["_xb"])
+            for r in ib.with_bucket_and_xb(df, "doc_key", cuts, xkeys).collect()
+        }
+        monkeypatch.setattr(ib, "_BUCKET_UDF_MIN", 0)
+        udf = {
+            r["doc_key"]: (r["_bucket"], r["_xb"])
+            for r in ib.with_bucket_and_xb(df, "doc_key", cuts, xkeys).collect()
+        }
+        monkeypatch.undo()
+        assert jvm == udf, (cuts, jvm, udf)
+
+    # (term, did): duplicate cut terms exercise the tie-group searchsorted
+    rows = [("apple", 3), ("apple", 10), ("apple", 99), ("beta", 0),
+            ("beta", 7), ("zeta", 1), ("aa", 5)]
+    cuts_td = [("apple", 10), ("apple", 50), ("beta", 7)]
+    df = spark.createDataFrame(rows, ["term", "start_did"])
+    xkeys = ib.probe_shuffle_keys(spark, len(cuts_td) + 1, len(cuts_td) + 1)
+    jvm = {
+        (r["term"], r["start_did"]): (r["_b"], r["_xb"])
+        for r in ib.with_term_did_bucket_and_xb(df, cuts_td, xkeys).collect()
+    }
+    monkeypatch.setattr(ib, "_BUCKET_UDF_MIN", 0)
+    udf = {
+        (r["term"], r["start_did"]): (r["_b"], r["_xb"])
+        for r in ib.with_term_did_bucket_and_xb(df, cuts_td, xkeys).collect()
+    }
+    monkeypatch.undo()
+    assert jvm == udf
+
+
+def test_udf_routed_build_matches_default(spark, corpus_small, index_dir, monkeypatch):
+    """A full build forced onto the UDF routing path (as if >32k buckets)
+    must produce a value-identical index to the default literal-routed
+    build: same docmeta, postings bytes, term stats."""
+    from simplir_spark.operators import index_build as ib
+
+    monkeypatch.setattr(ib, "_BUCKET_UDF_MIN", 0)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="udfroute_idx_")
+    build_index(spark, corpus_small, d, n_partitions=8, run_size=64)
+    monkeypatch.undo()
+    ui = open_index(spark, d)
+    ti = open_index(spark, index_dir)
+    assert ui.doc_count == ti.doc_count and ui.token_count == ti.token_count
+    assert {(r.term, r.df, r.cf) for r in ui.term_stats.collect()} == {
+        (r.term, r.df, r.cf) for r in ti.term_stats.collect()
+    }
+    assert _postings_map(spark, d) == _postings_map(spark, index_dir)
+    a = {(r.did, r.doc_key, r.doc_len) for r in ui.docmeta.collect()}
+    b = {(r.did, r.doc_key, r.doc_len) for r in ti.docmeta.collect()}
+    assert a == b
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
