@@ -37,6 +37,13 @@ from simplir_spark.functions.scoring import B_DEFAULT, K1_DEFAULT
 from simplir_spark.operators.index_build import IndexHandle
 from simplir_spark.operators.query import queries_df
 
+# theta-seeding auto-gate: measured crossover on local[16] lies between 4M
+# docs (seeding -7%) and 16M (first win, +2.5% BM25 / +11% QL) at 16
+# shards — BENCH/seed_threshold.json (500k), BENCH/seed_threshold_4m.json
+# (4M + 16M).  Gate at the measured-win point; callers on real clusters
+# where per-shard decode dominates can force seed_threshold=True.
+_SEED_MIN_DOCS = 16_000_000
+
 
 def _bm25_contrib(tfs: np.ndarray, dls: np.ndarray, idf: float,
                   avg_doc_len: float, k1: float, b: float) -> np.ndarray:
@@ -488,15 +495,16 @@ def ql_dirichlet_indexed(
     # Cross-shard theta seeding (same design + auto-gate as bm25_indexed):
     # a seed pass on each query's densest shard yields a global k-th lower
     # bound that deepens every other shard's pruning.  Auto-gated on BOTH
-    # >= 8 shards AND a decode-heavy corpus (>= 4M docs): the seed pass
-    # is one extra fixed-cost job, and an interleaved A/B at 500k docs x
-    # 16 shards measured seeding as a net ~20% SLOWDOWN there
-    # (BENCH/seed_threshold.json) — the savings only amortize once each
+    # >= 8 shards AND a decode-heavy corpus (>= 16M docs): the seed pass
+    # is one extra fixed-cost job; interleaved A/Bs at 16 shards measured
+    # a net ~20% SLOWDOWN at 500k docs (BENCH/seed_threshold.json), still
+    # -7% at 4M, and the first WIN at 16M (+2.5% BM25 / +11% QL,
+    # BENCH/seed_threshold_4m.json) — the savings only amortize once each
     # shard's decode work dominates the job overhead.
     theta0_by_query: dict[str, float] = {}
     if seed_threshold is None:
         seed_threshold = (
-            grouping == "query_shard" and n_shards >= 8 and doc_count >= (1 << 22)
+            grouping == "query_shard" and n_shards >= 8 and doc_count >= _SEED_MIN_DOCS
         )
     if seed_threshold and grouping == "query_shard" and n_shards > 1:
         mass = matched.groupBy("query_id", "shard").agg(F.sum("n").alias("_mass"))
@@ -811,11 +819,11 @@ def bm25_indexed(
     group_schema = "query_id string, did long, score double"
     theta0_by_query: dict[str, float] = {}
     if seed_threshold is None:
-        # >= 8 shards AND a decode-heavy corpus: at 500k docs x 16 shards
-        # the seed job's fixed cost measured as a net slowdown
-        # (BENCH/seed_threshold.json); it amortizes only when per-shard
-        # decode work dominates job overhead
-        seed_threshold = n_shards >= 8 and index.doc_count >= (1 << 22)
+        # >= 8 shards AND a decode-heavy corpus: seeding's fixed seed-job
+        # cost measured as a net slowdown at 500k and 4M docs x 16 shards
+        # and its first win at 16M (BENCH/seed_threshold{,_4m}.json); it
+        # amortizes only when per-shard decode dominates job overhead
+        seed_threshold = n_shards >= 8 and index.doc_count >= _SEED_MIN_DOCS
     if seed_threshold and n_shards > 1:
         # metadata-only densest-shard pick: no blob columns execute
         mass = matched.groupBy("query_id", "shard").agg(F.sum("n").alias("_mass"))
