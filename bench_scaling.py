@@ -70,6 +70,7 @@ PRIOR_RUNS_MD = """
 | N | round 4: distributed boundary sketch + QL pruning engine (host probe throttled to 2.69×) | 4→16 | 0.562 | 0.50–1.13 | 2.69× | 0.84 |
 | 2→8 supplement (r4, CURRENT engine) | same engine, criterion run | 2→8 | **0.953** | 0.66–0.98 | 3.55× | 1.06 |
 | O (confirmation, r4) | independent rerun of N same engine — raw median replicates (0.554 vs 0.562); probe phase worse (3.26×) | 4→16 | 0.554 | 0.37–0.74 | 3.26× | 0.68 |
+| P (round 5, CURRENT engine) | UDF bucket routing + 16M seed gate + folded registry; criterion run | 2→8 | **0.839** | 0.72–0.90 | 3.40× | 0.99 (paired 1.21) |
 """
 
 # The 2→8 supplementary evidence (criterion met on raw numbers) is static
