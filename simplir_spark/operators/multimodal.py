@@ -85,16 +85,21 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     fake = os.environ.get("SIMPLIR_FAKE_DECODE") == "1"
 
     def _real_features(payload: bytes) -> list[float]:
+        from simplir_spark.functions.audiocodec import audio_features, try_decode_audio
         from simplir_spark.functions.imagecodec import image_features, try_decode_image
 
         rgb = try_decode_image(payload)
-        if rgb is None:
-            raise NotImplementedError(
-                "no decoder for this payload (pure-numpy BMP is built in; other "
-                "formats need PIL/libav, not in this container); set "
-                "SIMPLIR_FAKE_DECODE=1 for the deterministic test path"
-            )
-        return image_features(rgb, dim)
+        if rgb is not None:
+            return image_features(rgb, dim)
+        clip = try_decode_audio(payload)
+        if clip is not None:
+            return audio_features(clip, dim)
+        raise NotImplementedError(
+            "no decoder for this payload (pure-numpy BMP/PNG images and PCM "
+            "WAV audio are built in; other formats need PIL/libav, not in "
+            "this container); set SIMPLIR_FAKE_DECODE=1 for the "
+            "deterministic test path"
+        )
 
     def kernel(batches):
         for pdf in batches:
@@ -144,6 +149,74 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, "media_id long, frame_ts_ms int, frame_payload binary")
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """Audio-resample plumbing: payload -> resampled payload, the audio
+    analog of resize_images.
+
+    With SIMPLIR_FAKE_DECODE=1 the sample transform is a deterministic
+    fake (md5(payload || rate) tiled to ~2 bytes per output frame at an
+    assumed source rate); otherwise PCM WAV payloads go through the REAL
+    pure-numpy path (decode -> linear-interp resample -> re-encode WAV,
+    functions/audiocodec.py) and unsupported formats raise.  Non-audio
+    rows pass through unchanged; meta.duration_ms is preserved (duration
+    is rate-invariant) or filled from the real decode when absent.
+    """
+    fake = os.environ.get("SIMPLIR_FAKE_DECODE") == "1"
+
+    def _real_resample(payload: bytes):
+        from simplir_spark.functions.audiocodec import (
+            resample_linear,
+            try_decode_audio,
+            wav_encode,
+        )
+
+        clip = try_decode_audio(payload)
+        if clip is None:
+            raise NotImplementedError(
+                "no audio decoder for this payload (pure-numpy PCM WAV is "
+                "built in; other formats need libsndfile/ffmpeg, not in this "
+                "container); set SIMPLIR_FAKE_DECODE=1 for the deterministic "
+                "test path"
+            )
+        out = resample_linear(clip, target_rate)
+        return wav_encode(out), out.duration_ms
+
+    def kernel(batches):
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                if kind != "audio":
+                    out_payload.append(bytes(payload))
+                    out_meta.append(meta)
+                    continue
+                m = dict(meta or {})
+                if fake:
+                    dur = m.get("duration_ms") or 1000
+                    seed = hashlib.md5(
+                        bytes(payload) + f"@{target_rate}".encode()
+                    ).digest()
+                    # fake 'frames': digest tiled to ~2 bytes/output frame
+                    n_out = max(1, int(dur) * target_rate // 1000)
+                    n = max(1, (n_out * 2) // len(seed))
+                    out_payload.append((seed * n)[: n_out * 2])
+                else:
+                    pay, dur = _real_resample(bytes(payload))
+                    out_payload.append(pay)
+                    m["duration_ms"] = dur
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "mime": pdf["mime"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:

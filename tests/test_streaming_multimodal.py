@@ -371,3 +371,90 @@ def test_png_codec_roundtrip_all_filters():
         png_decode(inter)
     with pytest.raises(ValueError):
         png_decode(b"nope")
+
+
+def test_real_wav_decode_through_spark_plumbing(spark, monkeypatch):
+    """Round-5 audio analog of the BMP/PNG tests: the committed PCM WAV
+    fixture (16-bit stereo, with a LIST chunk before data to exercise
+    RIFF chunk walking) decodes through the full mapInPandas plumbing
+    without the fake-decode gate, and resample_audio re-encodes a real
+    WAV at the target rate."""
+    import os as _os
+
+    import numpy as np
+
+    from simplir_spark.functions.audiocodec import audio_features, wav_decode
+    from simplir_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resample_audio,
+    )
+
+    monkeypatch.delenv("SIMPLIR_FAKE_DECODE", raising=False)
+    payload = open(
+        _os.path.join(_os.path.dirname(__file__), "data", "tiny.wav"), "rb"
+    ).read()
+    clip = wav_decode(payload)
+    assert (clip.n_frames, clip.n_channels, clip.sample_rate) == (120, 2, 8000)
+    # anchor on the analytic pattern the fixture was generated from
+    for i in (0, 7, 119):
+        for c in (0, 1):
+            want = (((i * 773 + c * 131) % 2001) - 1000) / 32768.0
+            assert clip.samples[i, c] == pytest.approx(want, abs=1e-12), (i, c)
+
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", payload,
+          {"width": None, "height": None, "duration_ms": 15})],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, dim=10).collect()[0]
+    assert row.feature == pytest.approx(audio_features(clip, 10))
+    assert row.feature[0] == pytest.approx(120 / 8000)  # real duration
+    assert row.feature[1] == 8000.0 and row.feature[2] == 2.0
+
+    out = resample_audio(media, target_rate=4000).collect()[0]
+    res = wav_decode(bytes(out.payload))
+    assert res.sample_rate == 4000
+    assert res.n_frames == 60 and res.n_channels == 2
+    assert out.meta.duration_ms == res.duration_ms
+    # linear interp at even indices hits the original samples (up to
+    # 16-bit re-quantization)
+    assert res.samples[0, 0] == pytest.approx(clip.samples[0, 0], abs=2 / 32768)
+
+
+def test_wav_codec_roundtrip_and_resample_properties():
+    import numpy as np
+
+    from simplir_spark.functions.audiocodec import (
+        AudioClip,
+        resample_linear,
+        try_decode_audio,
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    for n_frames, n_ch, bits in [(1, 1, 16), (50, 2, 16), (33, 3, 16), (40, 1, 8)]:
+        s = rng.uniform(-1, 1, size=(n_frames, n_ch))
+        clip = AudioClip(s, 16000)
+        back = wav_decode(wav_encode(clip, bits=bits))
+        assert (back.n_frames, back.n_channels, back.sample_rate) == (
+            n_frames, n_ch, 16000,
+        )
+        # encode rounds at x32767, decode divides by 32768 (resp. 127/128):
+        # worst case (0.5 + |s|) / 32768
+        tol = 1.5 / 32768 if bits == 16 else 1.5 / 128
+        assert np.abs(back.samples - np.clip(s, -1, 1)).max() <= tol
+
+    # resampling a linear ramp is exact (np.interp of a line is the line)
+    ramp = np.linspace(-0.5, 0.5, 101).reshape(-1, 1)
+    up = resample_linear(AudioClip(ramp, 1000), 2000)
+    assert up.n_frames == 202
+    assert np.allclose(np.diff(up.samples[:, 0]), np.diff(up.samples[:, 0])[0])
+    same = resample_linear(AudioClip(ramp, 1000), 1000)
+    assert same.samples is ramp  # no-op fast path
+
+    # non-WAV and non-PCM payloads are rejected / return None
+    assert try_decode_audio(b"\x89PNG\r\n\x1a\n") is None
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFFxxxxWAVE")
