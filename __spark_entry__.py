@@ -736,6 +736,28 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(sh, bench)
 
 
+SPAN_N = 8  # duplicated-span window length for the contract fixture
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (Lee et al. 2021): maximal token
+    spans >= SPAN_N long whose windows occur >= 2 times corpus-wide,
+    joined with the per-doc strip stats so detection AND removal are
+    both oracle-checked: (doc_id, span_start, span_end, n_tokens,
+    n_removed, cleaned_text)."""
+    from simplir_spark.operators.substring_dedup import (
+        repeated_spans,
+        strip_repeated_spans,
+    )
+
+    tok = _tokenized_docs(spark, sf_dir)
+    spans = repeated_spans(tok, n=SPAN_N)
+    stripped = strip_repeated_spans(tok, spans)
+    return spans.join(stripped, "doc_id").select(
+        "doc_id", "span_start", "span_end", "n_tokens", "n_removed", "cleaned_text"
+    )
+
+
 def q_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag monoid end-to-end (Bag.hs:39-69): term bags of two sub-corpora
     (even/odd doc ids), weightedUnion(2.0, 0.5) -> L1 normalize ->
@@ -955,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Newest / most-churned entries go first."""
     return {
         "ql_dirichlet_topk_indexed": q_ql_dirichlet_topk_indexed,
+        "repeated_spans": q_repeated_spans,
         "neardup_resolve": q_neardup_resolve,
         "query_dsl_grid": q_query_dsl_grid,
         "merge_rankings": q_merge_rankings,
@@ -1853,6 +1876,58 @@ def oracle_sql() -> dict[str, str]:
     SELECT ids.doc_id, CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
            coalesce(hits.n_hits, 0) > 0 AS contaminated
     FROM ids LEFT JOIN hits USING (doc_id)
+    """
+
+    sql["repeated_spans"] = f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 2) AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(toks[i:i+{SPAN_N - 1}], ' ')), 1, 15))::BIGINT AS h
+      FROM tk, unnest(generate_series(1, len(toks) - {SPAN_N - 1})) AS g(i)
+    ),
+    duph AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+    d AS (SELECT w.doc_id, w.pos FROM w JOIN duph USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {SPAN_N}
+                  THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + {SPAN_N} AS span_end
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    rm AS (
+      SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS n_removed
+      FROM spans GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT tk.doc_id, g.i AS pos, toks[i] AS tok
+      FROM tk, unnest(generate_series(1, len(toks))) AS g(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tk.doc_id AND g.i - 1 >= s.span_start AND g.i - 1 < s.span_end
+      )
+    ),
+    cleaned AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT sp.doc_id, sp.span_start, sp.span_end,
+           CAST(len(tk.toks) AS BIGINT) AS n_tokens, rm.n_removed,
+           coalesce(c.cleaned_text, '') AS cleaned_text
+    FROM spans sp
+    JOIN tk USING (doc_id)
+    JOIN rm USING (doc_id)
+    LEFT JOIN cleaned c USING (doc_id)
     """
 
     sql["bag_ops"] = f"""
