@@ -28,8 +28,11 @@ sample_deterministic uses).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def positional_window_hashes(
@@ -51,14 +54,110 @@ def positional_window_hashes(
     ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
 
 
+_ROLL_MOD = (1 << 31) - 1
+_ROLL_BASE1 = 1_000_003
+_ROLL_BASE2 = 2_000_003
+
+
+def positional_window_hashes_rolling(
+    tokenized: DataFrame, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Scale path for :func:`positional_window_hashes`: same (id, pos, h)
+    output shape, but the expr path materializes an ``n``-token STRING per
+    window and md5s it — O(corpus_tokens * n) bytes hashed and allocated.
+    Here md5 runs once per UNIQUE token in the Arrow batch; every window
+    hash is then ``n`` vectorized int64 polynomial passes over the
+    batch-flattened token-hash array (two independent 31-bit Karp-Rabin
+    hashes packed into one 62-bit value, the winnowing no-overflow
+    envelope: hash < 2^31, power < 2^31, product < 2^62).
+
+    Hash VALUES differ from the expr path by construction; span OUTPUTS
+    are identical absent collisions (~n_windows^2 / 2^62) — parity-tested.
+    The contract entry keeps the expr path because the DuckDB oracle can
+    reproduce md5 window hashes bit-exactly; at 10^12 docs this is the
+    path to use."""
+    from simplir_spark.functions.tokenize import _factorize_flat
+
+    pw1 = np.asarray(
+        [pow(_ROLL_BASE1, n - 1 - j, _ROLL_MOD) for j in range(n)], dtype=np.int64
+    )
+    pw2 = np.asarray(
+        [pow(_ROLL_BASE2, n - 1 - j, _ROLL_MOD) for j in range(n)], dtype=np.int64
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def window_hashes(term_lists: pd.Series) -> pd.Series:
+        import hashlib
+
+        lists = [list(t) if t is not None else [] for t in term_lists]
+        lens = np.asarray([len(t) for t in lists], dtype=np.int64)
+        flat = np.asarray([tok for t in lists for tok in t], dtype=object)
+        if len(flat) < n:
+            return pd.Series([[] for _ in lists])
+        codes, uniques = _factorize_flat(flat, False)
+        dig = [hashlib.md5(u.encode()).digest() for u in uniques]
+        uh1 = np.fromiter(
+            ((int.from_bytes(d[:8], "big") >> 4) % _ROLL_MOD for d in dig),
+            dtype=np.int64,
+            count=len(dig),
+        )
+        uh2 = np.fromiter(
+            ((int.from_bytes(d[8:16], "big") >> 4) % _ROLL_MOD for d in dig),
+            dtype=np.int64,
+            count=len(dig),
+        )
+        th1, th2 = uh1[codes], uh2[codes]
+        # all windows over the batch-flattened array in n vector passes,
+        # then per-doc selection masks out the ones crossing doc bounds
+        ng_flat = len(flat) - n + 1
+        h1 = np.zeros(ng_flat, dtype=np.int64)
+        h2 = np.zeros(ng_flat, dtype=np.int64)
+        for j in range(n):
+            h1 = (h1 + (th1[j : j + ng_flat] * pw1[j]) % _ROLL_MOD) % _ROLL_MOD
+            h2 = (h2 + (th2[j : j + ng_flat] * pw2[j]) % _ROLL_MOD) % _ROLL_MOD
+        packed = (h1 << 31) | h2
+        doc_ng = np.maximum(lens - n + 1, 0)
+        doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        starts = np.repeat(doc_start, doc_ng) + (
+            np.arange(int(doc_ng.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(doc_ng)[:-1]]), doc_ng)
+        )
+        sel = packed[starts]
+        bounds = np.cumsum(doc_ng)
+        return pd.Series(
+            [
+                [int(x) for x in sel[lo:hi]]
+                for lo, hi in zip(np.concatenate([[0], bounds[:-1]]), bounds)
+            ]
+        )
+
+    return (
+        tokenized.select(F.col(id_col), window_hashes("terms").alias("_hs"))
+        .select(id_col, F.posexplode("_hs").alias("pos", "h"))
+        .select(id_col, F.col("pos").cast("long").alias("pos"), "h")
+    )
+
+
 def repeated_spans(
-    tokenized: DataFrame, n: int = 50, id_col: str = "doc_id"
+    tokenized: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    method: str = "expr",
 ) -> DataFrame:
     """Maximal duplicated token spans: (id, span_start, span_end) with
     span_end exclusive, each span >= ``n`` tokens long and made of
     windows whose content occurs >= 2 times corpus-wide (within- or
-    cross-document, per the reference paper's definition)."""
-    w = positional_window_hashes(tokenized, n, id_col)
+    cross-document, per the reference paper's definition).
+
+    ``method="expr"`` (default) hashes windows with a JVM md5 expression —
+    oracle-reproducible, O(n) bytes hashed per window.  ``method="rolling"``
+    uses the vectorized Karp-Rabin kernel — same spans, the 100-TB path."""
+    if method == "rolling":
+        w = positional_window_hashes_rolling(tokenized, n, id_col)
+    elif method == "expr":
+        w = positional_window_hashes(tokenized, n, id_col)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     dup_h = (
         w.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))

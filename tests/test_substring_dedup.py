@@ -87,6 +87,45 @@ def test_short_docs_and_no_duplicates_are_safe(spark):
     assert out[2].cleaned_text == "" and out[2].n_tokens == 0
 
 
+def test_rolling_method_matches_expr_method(spark):
+    """The Karp-Rabin scale path must produce span-identical output to the
+    oracle-checked md5-expr path — on crafted fixtures AND the real
+    sf0.001 corpus (small vocab -> plenty of genuine duplication)."""
+    from simplir_spark.functions.tokenize import with_tokens
+    from simplir_spark.operators.substring_dedup import repeated_spans
+    from simplir_spark.sources.corpus import load_corpus
+
+    shared = [f"shr{i}" for i in range(12)]
+    a = [f"apre{i}" for i in range(6)] + shared + [f"asuf{i}" for i in range(4)]
+    b = [f"bpre{i}" for i in range(3)] + shared + [f"bsuf{i}" for i in range(7)]
+    t = [f"rep{i}" for i in range(5)]
+    d = [f"x{i}" for i in range(7)] + t + [f"y{i}" for i in range(8)] + t
+    fix = _tokdf(spark, [(1, a), (2, b), (3, d), (4, ["one", "two"]), (5, [])])
+    for n in (5, 8):
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in repeated_spans(fix, n=n, method="rolling").collect()
+        }
+        want = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in repeated_spans(fix, n=n, method="expr").collect()
+        }
+        assert got == want and want
+
+    tok = with_tokens(load_corpus(spark, "/root/testdata/sf0.001")).withColumnRenamed(
+        "doc_key", "doc_id"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_spans(tok, n=6, method="rolling").collect()
+    }
+    want = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_spans(tok, n=6, method="expr").collect()
+    }
+    assert got == want and want
+
+
 def test_spans_are_disjoint_and_cover_only_duplicated_windows(spark):
     """Structural invariants on the real corpus at sf0.001: spans sorted
     per doc are pairwise disjoint, each >= n long, in bounds, and every
