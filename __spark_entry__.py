@@ -514,14 +514,28 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors with DETERMINISTIC centroids
-    (n_lists vectors with smallest md5(id)) — the coarse-quantization
-    scale path, fully SQL-expressible so FULLY oracle-checked (unlike the
-    seeded-hyperplane rp-lsh path, which stays rows-only)."""
-    from simplir_spark.operators.similarity import ivf_topk
+    """IVF approximate nearest neighbors, BOTH centroid strategies in one
+    folded entry (method discriminator): 'detmin' = deterministic
+    smallest-md5(id) centroid sample, fully SQL-expressible; 'kmeans' =
+    deterministic sample-fit Lloyd's training (fit shared with the oracle
+    generator like the rp-lsh hyperplanes; the distributed
+    assignment/probe/rerank is what the oracle independently verifies)."""
+    from simplir_spark.operators.similarity import ivf_kmeans_topk, ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=4)
+    det = ivf_topk(emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=4)
+    km = ivf_kmeans_topk(
+        emb,
+        F.col("vec_id") < 10,
+        k=5,
+        n_lists=16,
+        n_probe=4,
+        n_iter=5,
+        sample_size=256,
+    )
+    return det.withColumn("method", F.lit("detmin")).unionByName(
+        km.withColumn("method", F.lit("kmeans"))
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1363,12 +1377,39 @@ def oracle_sql() -> dict[str, str]:
     SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
     """
 
-    sql["ann_ivf_topk"] = """
+    # the kmeans variant's centroids come from the SAME deterministic fit
+    # the engine runs (sample rule + fixed-order numpy Lloyd's), computed
+    # here directly from the parquet (no Spark) and embedded as literals —
+    # the driver's oracle always runs at sf0.01, matching this path
+    from simplir_spark.operators.similarity import (
+        ivf_kmeans_centroids_from_parquet,
+    )
+
+    _km_cents = ivf_kmeans_centroids_from_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        n_lists=16,
+        n_iter=5,
+        sample_size=256,
+    )
+    _km_rows = ",\n      ".join(
+        "({}, [{}], CAST('{!r}' AS DOUBLE))".format(
+            cid,
+            ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec),
+            nrm,
+        )
+        for cid, vec, nrm in _km_cents
+    )
+    sql["ann_ivf_topk"] = f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
     nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
     cent AS (
       SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nv
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    kcent AS (
+      SELECT * FROM (VALUES
+      {_km_rows}
+      ) AS t(cid, cv, cnrm)
     ),
     asgn AS (
       SELECT nv.vec_id, cent.cid,
@@ -1378,27 +1419,39 @@ def oracle_sql() -> dict[str, str]:
              ) AS rnk
       FROM nv CROSS JOIN cent
     ),
-    lists AS (SELECT vec_id, cid FROM asgn WHERE rnk = 1),
-    qlists AS (SELECT vec_id AS query_id, cid FROM asgn WHERE rnk <= 4 AND vec_id < 10),
+    kasgn AS (
+      SELECT nv.vec_id, kcent.cid,
+             row_number() OVER (
+               PARTITION BY nv.vec_id
+               ORDER BY list_dot_product(nv.v, kcent.cv) / (nv.nrm * kcent.cnrm) DESC, kcent.cid
+             ) AS rnk
+      FROM nv CROSS JOIN kcent
+    ),
+    lists AS (SELECT vec_id, cid, 'detmin' AS method FROM asgn WHERE rnk = 1
+              UNION ALL
+              SELECT vec_id, cid, 'kmeans' AS method FROM kasgn WHERE rnk = 1),
+    qlists AS (SELECT vec_id AS query_id, cid, 'detmin' AS method FROM asgn WHERE rnk <= 4 AND vec_id < 10
+               UNION ALL
+               SELECT vec_id AS query_id, cid, 'kmeans' AS method FROM kasgn WHERE rnk <= 4 AND vec_id < 10),
     cand AS (
-      SELECT DISTINCT ql.query_id, l.vec_id AS neighbor_id
-      FROM qlists ql JOIN lists l ON l.cid = ql.cid
+      SELECT DISTINCT ql.method, ql.query_id, l.vec_id AS neighbor_id
+      FROM qlists ql JOIN lists l ON l.cid = ql.cid AND l.method = ql.method
       WHERE l.vec_id <> ql.query_id
     ),
     scored AS (
-      SELECT c.query_id, c.neighbor_id,
+      SELECT c.method, c.query_id, c.neighbor_id,
              round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) AS cos
       FROM cand c
       JOIN nv q ON q.vec_id = c.query_id
       JOIN nv t ON t.vec_id = c.neighbor_id
     ),
     ranked AS (
-      SELECT query_id, neighbor_id,
-             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+      SELECT method, query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY method, query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
              cos
       FROM scored
     )
-    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, rank, cos, method FROM ranked WHERE rank <= 5
     """
 
     from simplir_spark.functions.text import STOPWORDS_EN

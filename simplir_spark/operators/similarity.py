@@ -8,11 +8,16 @@
    deterministic (md5-derived), so results are reproducible across runs
    and cluster sizes.
 
+ * ivf_topk / ivf_kmeans_topk — coarse-quantized inverted lists: the
+   former with a seedless deterministic centroid sample, the latter with
+   deterministic sample-fit Lloyd's k-means (fit centrally on a bounded
+   sample, broadcast centroids, assign distributively — the standard
+   large-scale IVF architecture, kept reproducible by a fixed sample
+   rule + fixed-order numpy fit shared with the oracle).
+
 Scale notes: brute-force is O(Q×N) — fine when the query side is small
 and broadcastable; for N×N all-pairs use the LSH path (shuffle on bucket
-keys only).  An IVF variant would add a coarse k-means assignment —
-deliberately out of scope (non-deterministic training); LSH covers the
-sub-linear candidate generation requirement deterministically.
+keys only).
 """
 
 from __future__ import annotations
@@ -166,53 +171,50 @@ def rp_lsh_topk(
     )
 
 
-def ivf_topk(
-    emb: DataFrame,
-    query_filter,
-    k: int = 5,
-    n_lists: int = 16,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_dp: int | None = 6,
-) -> DataFrame:
-    """IVF-style approximate top-k: coarse quantization into ``n_lists``
-    inverted lists, query probes its ``n_probe`` nearest lists, exact
-    cosine rerank on the candidates.
-
-    The centroid set is DETERMINISTIC — the ``n_lists`` vectors with the
-    smallest md5(id) (a seedless reproducible sample) — instead of k-means
-    training, so results are stable across runs/cluster sizes AND the
-    whole operator is expressible in ANSI SQL for the driver oracle (the
-    trained-k-means variant would only change how centroids are produced).
-
-    Scale shape: centroids broadcast (tiny), assignment is a per-row
-    column expression, the candidate join shuffles on list id only —
-    candidates ~ (n_probe/n_lists) x N per query instead of N.
-    """
-    base = with_norm(emb, vec_col).select(F.col(id_col), "_v", "_norm")
-    # centroids are a BOUNDED set (n_lists rows): collect them and embed
-    # as literal arrays, so corpus-side list assignment is a pure
-    # projection — no N x n_lists row expansion, NO shuffle, whatever the
-    # corpus size (argmax over n_lists column expressions)
-    cent_rows = (
+def _deterministic_sample(base: DataFrame, size: int, id_col: str):
+    """The ``size`` rows with smallest (md5(id), id) — a seedless,
+    partition/cluster-size-invariant reproducible sample (the same rule
+    sample_deterministic uses for corpus sampling)."""
+    return (
         base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_lists)
+        .limit(size)
         .collect()
     )
 
-    def _cos_to(row):
-        cv = F.array(*[F.lit(float(x)) for x in row["_v"]])
+
+def _centroid_structs(cents: list[tuple[int, list[float], float]]):
+    """One (cos, -cid) struct expression per centroid over the ``_v`` /
+    ``_norm`` columns; -cid so array_max tie-breaks to the MIN cid."""
+
+    def _cos_to(vec, nrm):
+        cv = F.array(*[F.lit(float(x)) for x in vec])
         dot = F.aggregate(
             F.zip_with("_v", cv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
-        return dot / (F.col("_norm") * F.lit(float(row["_norm"])))
+        return dot / (F.col("_norm") * F.lit(float(nrm)))
 
-    cent_structs = [
-        # min-cid tie-break under array_max: store -cid, negate on read
-        F.struct(_cos_to(r).alias("c"), F.lit(-int(r[id_col])).alias("nc"))
-        for r in cent_rows
+    return [
+        F.struct(_cos_to(vec, nrm).alias("c"), F.lit(-int(cid)).alias("nc"))
+        for cid, vec, nrm in cents
     ]
+
+
+def _ivf_search(
+    base: DataFrame,
+    query_filter,
+    cents: list[tuple[int, list[float], float]],
+    k: int,
+    n_probe: int,
+    id_col: str,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared IVF search stage given a (cid, vector, norm) centroid set:
+    corpus-side list assignment is a pure projection (argmax over n_lists
+    column expressions — no N x n_lists row expansion, NO shuffle), the
+    query side probes its ``n_probe`` best lists, the candidate join
+    shuffles on list id only — candidates ~ (n_probe/n_lists) x N per
+    query instead of N."""
+    cent_structs = _centroid_structs(cents)
     lists = base.withColumn(
         "_cid", -F.array_max(F.array(*cent_structs))["nc"]
     ).select(id_col, "_cid", "_v", "_norm")
@@ -252,6 +254,141 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantization into ``n_lists``
+    inverted lists, query probes its ``n_probe`` nearest lists, exact
+    cosine rerank on the candidates.
+
+    The centroid set is DETERMINISTIC — the ``n_lists`` vectors with the
+    smallest md5(id) (a seedless reproducible sample) — so results are
+    stable across runs/cluster sizes AND the whole operator is
+    expressible in ANSI SQL for the driver oracle.  See
+    :func:`ivf_kmeans_topk` for the trained-centroid variant (same search
+    stage, better list balance/recall).
+    """
+    base = with_norm(emb, vec_col).select(F.col(id_col), "_v", "_norm")
+    # centroids are a BOUNDED set (n_lists rows): collect them and embed
+    # as literal arrays so assignment stays a pure projection
+    cent_rows = _deterministic_sample(base, n_lists, id_col)
+    cents = [
+        (int(r[id_col]), list(r["_v"]), float(r["_norm"])) for r in cent_rows
+    ]
+    return _ivf_search(base, query_filter, cents, k, n_probe, id_col, round_dp)
+
+
+def fit_ivf_kmeans(
+    sample: np.ndarray, n_lists: int, n_iter: int = 5
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means (cosine assignment, mean update) on
+    a float64 sample matrix whose ROW ORDER the caller fixed.
+
+    Every operation is plain numpy in a fixed order, so two fits on the
+    same sample are bit-identical — this one function is shared by the
+    Spark driver (:func:`ivf_kmeans_topk`) and the DuckDB oracle
+    generator (:func:`ivf_kmeans_centroids_from_parquet`), making the
+    trained variant fully oracle-checkable: the FIT is shared (like the
+    rp-lsh hyperplanes and minhash coefficients), the distributed
+    assignment/probe/rerank is independently verified.
+
+    Init = first ``n_lists`` sample rows; empty clusters keep their
+    previous centroid; assignment tie-break = lowest cid (np.argmax
+    first-max rule, matching the engine/oracle's cos DESC, cid ASC).
+    """
+    vecs = np.asarray(sample, dtype=np.float64)
+    if len(vecs) < n_lists:
+        raise ValueError(f"sample of {len(vecs)} rows < n_lists={n_lists}")
+    cents = vecs[:n_lists].copy()
+    vn = np.linalg.norm(vecs, axis=1)
+    vn[vn == 0] = 1.0
+    vnorm = vecs / vn[:, None]
+    for _ in range(n_iter):
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0] = 1.0
+        sims = vnorm @ (cents / cn[:, None]).T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_lists):
+            mask = assign == c
+            if mask.any():
+                cents[c] = vecs[mask].mean(axis=0)
+    return cents
+
+
+def _kmeans_cents(sample: np.ndarray, n_lists: int, n_iter: int):
+    m = fit_ivf_kmeans(sample, n_lists, n_iter)
+    return [
+        (i, [float(x) for x in c], float(np.linalg.norm(c)))
+        for i, c in enumerate(m)
+    ]
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 5,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """IVF top-k with TRAINED coarse centroids: deterministic-sample fit
+    (collect the ``sample_size`` smallest-md5(id) vectors, Lloyd's
+    k-means on the driver) + the shared :func:`_ivf_search` stage.
+
+    This is the standard large-scale IVF architecture — fit on a bounded
+    sample centrally, broadcast the centroids, assign distributively —
+    and it stays fully deterministic (seedless sample rule + fixed-order
+    numpy fit), so results are reproducible across runs, partitionings,
+    and cluster sizes.  Scale shape: the collect is capped at
+    ``sample_size`` rows regardless of corpus size; the search stage
+    shuffles on list id only.  ``n_lists`` beyond a few thousand should
+    move assignment from literal column expressions to a broadcast-matrix
+    pandas-UDF argmax (same routing trade-off as the index build's bucket
+    UDF path — see with_bucket_and_xb)."""
+    base = with_norm(emb, vec_col).select(F.col(id_col), "_v", "_norm")
+    rows = _deterministic_sample(base.select(F.col(id_col), "_v"), sample_size, id_col)
+    sample = np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
+    cents = _kmeans_cents(sample, n_lists, n_iter)
+    return _ivf_search(base, query_filter, cents, k, n_probe, id_col, round_dp)
+
+
+def ivf_kmeans_centroids_from_parquet(
+    path: str,
+    n_lists: int,
+    n_iter: int = 5,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Oracle-side twin of :func:`ivf_kmeans_topk`'s fit: read the
+    parquet directly (no Spark), apply the SAME sample rule (sort by
+    (md5(str(id)), id), take ``sample_size``) and the SAME
+    :func:`fit_ivf_kmeans` — bit-identical centroids the DuckDB oracle
+    SQL embeds as literals."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[id_col, vec_col])
+    ids = t[id_col].to_pylist()
+    vecs = t[vec_col].to_pylist()
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )[:sample_size]
+    sample = np.asarray([vecs[i] for i in order], dtype=np.float64)
+    return _kmeans_cents(sample, n_lists, n_iter)
 
 
 def cosine_neardup_pairs(

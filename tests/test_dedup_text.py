@@ -175,6 +175,96 @@ def test_ivf_topk_recall_vs_brute(spark):
     assert a == a2
 
 
+def test_ivf_kmeans_full_probe_equals_brute(spark):
+    """With n_probe == n_lists every list is probed, so the trained-IVF
+    search must reduce EXACTLY to brute-force cosine top-k — candidate
+    generation loses nothing, rerank is exact."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.operators.similarity import cosine_topk, ivf_kmeans_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    full = ivf_kmeans_topk(
+        emb, F.col("vec_id") < 10, k=5, n_lists=8, n_probe=8, sample_size=256
+    )
+    b = sorted(tuple(r) for r in brute.collect())
+    f = sorted(tuple(r) for r in full.collect())
+    assert b == f and b
+
+
+def test_ivf_kmeans_fit_deterministic_and_partition_invariant(spark):
+    """The sample rule + fixed-order numpy fit must give bit-identical
+    centroids however the input is partitioned, and the Spark-side fit
+    must agree with the oracle generator's no-Spark parquet path."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.operators.similarity import (
+        ivf_kmeans_centroids_from_parquet,
+        ivf_kmeans_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out1 = sorted(
+        tuple(r)
+        for r in ivf_kmeans_topk(
+            emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=4, sample_size=256
+        ).collect()
+    )
+    out2 = sorted(
+        tuple(r)
+        for r in ivf_kmeans_topk(
+            emb.repartition(7),
+            F.col("vec_id") < 10,
+            k=5,
+            n_lists=16,
+            n_probe=4,
+            sample_size=256,
+        ).collect()
+    )
+    assert out1 == out2 and out1
+    c1 = ivf_kmeans_centroids_from_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", 16, 5, 256
+    )
+    c2 = ivf_kmeans_centroids_from_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", 16, 5, 256
+    )
+    assert c1 == c2
+    assert len(c1) == 16 and all(len(v) > 0 for _, v, _ in c1)
+
+
+def test_ivf_kmeans_recall_not_worse_than_detmin(spark):
+    """Trained centroids should match or beat the seedless-sample
+    centroids on recall@5 at the same probe budget (on this table the
+    gap is visible because label clusters exist)."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.operators.similarity import (
+        cosine_topk,
+        ivf_kmeans_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    b = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    }
+    det = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=4
+        ).collect()
+    }
+    km = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_kmeans_topk(
+            emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=4, sample_size=256
+        ).collect()
+    }
+    assert len(km & b) / len(b) >= len(det & b) / len(b) - 0.1
+
+
 # ---------------------------------------------------------------------------
 # connected components / near-dup resolution
 # ---------------------------------------------------------------------------
