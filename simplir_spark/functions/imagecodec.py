@@ -238,9 +238,9 @@ def png_encode(rgb: np.ndarray, filters: list[int] | None = None) -> bytes:
 
 
 def try_decode_image(payload: bytes) -> np.ndarray | None:
-    """Real decode when possible: BMP and non-interlaced 8-bit PNG
-    natively, any PIL-supported format if PIL is importable; None when no
-    decoder applies."""
+    """Real decode when possible: BMP, non-interlaced 8-bit PNG, and
+    baseline JPEG natively (all pure numpy); any PIL-supported format if
+    PIL is importable; None when no decoder applies."""
     b = bytes(payload)
     if is_bmp(b):
         try:
@@ -250,6 +250,13 @@ def try_decode_image(payload: bytes) -> np.ndarray | None:
     if is_png(b):
         try:
             return png_decode(b)
+        except ValueError:
+            return None
+    from simplir_spark.functions.jpegcodec import decode_jpeg, is_jpeg
+
+    if is_jpeg(b):
+        try:
+            return decode_jpeg(b)
         except ValueError:
             return None
     try:  # optional dependency — absent in this container

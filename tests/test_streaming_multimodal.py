@@ -458,3 +458,130 @@ def test_wav_codec_roundtrip_and_resample_properties():
     assert try_decode_audio(b"\x89PNG\r\n\x1a\n") is None
     with pytest.raises(ValueError):
         wav_decode(b"RIFFxxxxWAVE")
+
+
+# ---------------------------------------------------------------------------
+# JPEG (pure-numpy baseline codec)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_codec_roundtrip():
+    """Encode->decode at several qualities: smooth content survives with
+    tight error bounds, flat color is exact, non-multiple-of-8 sizes pad
+    and crop correctly."""
+    import numpy as np
+
+    from simplir_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    for h, w in [(40, 56), (17, 23), (8, 8), (9, 1)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                xx * 255 // max(1, w - 1),
+                yy * 255 // max(1, h - 1),
+                (xx + yy) * 255 // max(1, w + h - 2),
+            ],
+            axis=2,
+        ).astype("uint8")
+        for q in (95, 75):
+            dec = decode_jpeg(encode_jpeg(img, quality=q))
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(float) - img.astype(float))
+            assert err.mean() < 6.0 and err.max() <= 24, (h, w, q, err.max())
+
+    flat = np.full((16, 24, 3), 137, dtype="uint8")
+    assert (decode_jpeg(encode_jpeg(flat, 90)) == flat).all()
+
+
+def test_jpeg_decoder_vs_java_imageio_reference(spark):
+    """Decode a REAL third-party JPEG (baseline 4:2:0, standard Huffman
+    tables, shipped with the Apache Spark distribution) and compare
+    against Java ImageIO via Spark's built-in `image` data source — an
+    independent reference decoder, so a symmetric codec bug cannot
+    self-certify.  Residual differences are IDCT rounding and chroma
+    upsampling choices, both bounded."""
+    import os as _os
+
+    import numpy as np
+
+    from simplir_spark.functions.jpegcodec import decode_jpeg
+
+    p = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "kittens/DP802813.jpg"
+    )
+    if not _os.path.exists(p):
+        pytest.skip("Spark sample images not present")
+    mine = decode_jpeg(open(p, "rb").read())
+    row = spark.read.format("image").load(p).select("image.*").first()
+    ref = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    )[..., ::-1]  # image source yields BGR
+    assert mine.shape == ref.shape
+    diff = np.abs(mine.astype(float) - ref.astype(float))
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff <= 8).mean() >= 0.99
+
+
+def test_jpeg_progressive_rejected():
+    """Progressive (SOF2) files raise ValueError from decode_jpeg and
+    fall through try_decode_image as None (the honest stub path)."""
+    import os as _os
+
+    from simplir_spark.functions.imagecodec import try_decode_image
+    from simplir_spark.functions.jpegcodec import decode_jpeg
+
+    p = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg"
+    )
+    if not _os.path.exists(p):
+        pytest.skip("Spark sample images not present")
+    payload = open(p, "rb").read()
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(payload)
+    assert try_decode_image(payload) is None
+
+
+def test_real_jpeg_decode_through_spark_plumbing(spark, monkeypatch):
+    """The committed JPEG fixture decodes through the full mapInPandas
+    plumbing without the fake-decode gate; decoded pixels stay within
+    lossy-codec tolerance of the analytic pattern the fixture encodes."""
+    import os as _os
+
+    import numpy as np
+
+    from simplir_spark.functions.imagecodec import image_features
+    from simplir_spark.functions.jpegcodec import decode_jpeg
+    from simplir_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    monkeypatch.delenv("SIMPLIR_FAKE_DECODE", raising=False)
+    payload = open(
+        _os.path.join(_os.path.dirname(__file__), "data", "tiny.jpg"), "rb"
+    ).read()
+    rgb = decode_jpeg(payload)
+    assert rgb.shape == (24, 32, 3)
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    want = np.stack(
+        [(xx * 8) % 256, (yy * 11) % 256, ((xx + yy) * 5) % 256], axis=2
+    ).astype(float)
+    # the pattern wraps mod 256 (sharp sawtooth edges) — bound the MEAN
+    # error, not the max, and anchor the smooth top-left region tightly
+    assert np.abs(rgb.astype(float) - want).mean() < 8.0
+    assert np.abs(rgb[:8, :8].astype(float) - want[:8, :8]).max() <= 32
+
+    media = spark.createDataFrame(
+        [
+            (
+                1,
+                "image",
+                "image/jpeg",
+                payload,
+                {"width": 32, "height": 24, "duration_ms": None},
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, dim=8).collect()[0]
+    assert row.feature == pytest.approx(image_features(rgb, 8))
+    assert row.feature[0] == 32.0 and row.feature[1] == 24.0
