@@ -199,21 +199,61 @@ def _centroid_structs(cents: list[tuple[int, list[float], float]]):
     ]
 
 
-def _ivf_search(
-    base: DataFrame,
-    query_filter,
-    cents: list[tuple[int, list[float], float]],
-    k: int,
-    n_probe: int,
-    id_col: str,
-    round_dp: int | None,
-) -> DataFrame:
-    """Shared IVF search stage given a (cid, vector, norm) centroid set:
-    corpus-side list assignment is a pure projection (argmax over n_lists
-    column expressions — no N x n_lists row expansion, NO shuffle), the
-    query side probes its ``n_probe`` best lists, the candidate join
-    shuffles on list id only — candidates ~ (n_probe/n_lists) x N per
-    query instead of N."""
+# above this many lists, per-centroid literal column expressions stop
+# being the right assignment plan (Catalyst tree size grows linearly with
+# n_lists — same trade-off the index build's bucket routing hit, see
+# with_bucket_and_xb / BENCH/bucket_udf_route.json) and assignment moves
+# to one broadcast-matrix matmul per Arrow batch
+_IVF_UDF_MIN_LISTS = 256
+
+
+def _ivf_assign_udf(base: DataFrame, query_filter, cents, n_probe, id_col):
+    """(lists, qlists) via a broadcast centroid matrix + batched numpy
+    matmul argmax/arg-top-n_probe — O(1) plan size however many lists.
+
+    Tie-breaks match the expr path (cos DESC, cid ASC: first-max argmax /
+    stable argsort).  Near-tie assignments could in principle differ from
+    the expr path by one ulp (BLAS vs sequential fold summation order) —
+    both are valid IVF assignments; the operator is approximate-by-design
+    and each path is individually deterministic."""
+    C = np.asarray([vec for _, vec, _ in cents], dtype=np.float64)
+    cn = np.asarray([nrm for _, _, nrm in cents], dtype=np.float64)
+    cn[cn == 0] = 1.0
+    cids = np.asarray([cid for cid, _, _ in cents], dtype=np.int64)
+    bc = base.sparkSession.sparkContext.broadcast((C / cn[:, None], cids))
+
+    def _sims(vecs: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        Cn, ids = bc.value
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0
+        return (M / nrm[:, None]) @ Cn.T, ids
+
+    @F.pandas_udf(T.LongType())
+    def assign_cid(vecs: pd.Series) -> pd.Series:
+        sims, ids = _sims(vecs)
+        return pd.Series(ids[np.argmax(sims, axis=1)])
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def probe_cids(vecs: pd.Series) -> pd.Series:
+        sims, ids = _sims(vecs)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([ids[r].tolist() for r in top])
+
+    lists = base.withColumn("_cid", assign_cid("_v")).select(
+        id_col, "_cid", "_v", "_norm"
+    )
+    qlists = (
+        base.filter(query_filter)
+        .select(F.col(id_col).alias("query_id"), F.explode(probe_cids("_v")).alias("_cid"))
+    )
+    return lists, qlists
+
+
+def _ivf_assign_expr(base: DataFrame, query_filter, cents, n_probe, id_col):
+    """(lists, qlists) via per-centroid literal column expressions —
+    whole-stage-codegen JVM arithmetic, zero Python, right up to a few
+    hundred lists."""
     cent_structs = _centroid_structs(cents)
     lists = base.withColumn(
         "_cid", -F.array_max(F.array(*cent_structs))["nc"]
@@ -228,6 +268,34 @@ def _ivf_search(
         .filter(F.col("_crnk") <= n_probe)
         .select(F.col(id_col).alias("query_id"), (-F.col("_qc.nc")).alias("_cid"))
     )
+    return lists, qlists
+
+
+def _ivf_search(
+    base: DataFrame,
+    query_filter,
+    cents: list[tuple[int, list[float], float]],
+    k: int,
+    n_probe: int,
+    id_col: str,
+    round_dp: int | None,
+    assign_method: str = "auto",
+) -> DataFrame:
+    """Shared IVF search stage given a (cid, vector, norm) centroid set:
+    corpus-side list assignment is a pure projection (no N x n_lists row
+    expansion, NO shuffle — literal expressions for small centroid sets,
+    broadcast-matrix pandas UDF above _IVF_UDF_MIN_LISTS), the query side
+    probes its ``n_probe`` best lists, the candidate join shuffles on
+    list id only — candidates ~ (n_probe/n_lists) x N per query instead
+    of N."""
+    if assign_method == "auto":
+        assign_method = "udf" if len(cents) >= _IVF_UDF_MIN_LISTS else "expr"
+    if assign_method == "udf":
+        lists, qlists = _ivf_assign_udf(base, query_filter, cents, n_probe, id_col)
+    elif assign_method == "expr":
+        lists, qlists = _ivf_assign_expr(base, query_filter, cents, n_probe, id_col)
+    else:
+        raise ValueError(f"unknown assign_method: {assign_method!r}")
     qv = base.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
@@ -265,6 +333,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int | None = 6,
+    assign_method: str = "auto",
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantization into ``n_lists``
     inverted lists, query probes its ``n_probe`` nearest lists, exact
@@ -284,7 +353,9 @@ def ivf_topk(
     cents = [
         (int(r[id_col]), list(r["_v"]), float(r["_norm"])) for r in cent_rows
     ]
-    return _ivf_search(base, query_filter, cents, k, n_probe, id_col, round_dp)
+    return _ivf_search(
+        base, query_filter, cents, k, n_probe, id_col, round_dp, assign_method
+    )
 
 
 def fit_ivf_kmeans(
@@ -343,6 +414,7 @@ def ivf_kmeans_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int | None = 6,
+    assign_method: str = "auto",
 ) -> DataFrame:
     """IVF top-k with TRAINED coarse centroids: deterministic-sample fit
     (collect the ``sample_size`` smallest-md5(id) vectors, Lloyd's
@@ -354,15 +426,17 @@ def ivf_kmeans_topk(
     numpy fit), so results are reproducible across runs, partitionings,
     and cluster sizes.  Scale shape: the collect is capped at
     ``sample_size`` rows regardless of corpus size; the search stage
-    shuffles on list id only.  ``n_lists`` beyond a few thousand should
-    move assignment from literal column expressions to a broadcast-matrix
-    pandas-UDF argmax (same routing trade-off as the index build's bucket
-    UDF path — see with_bucket_and_xb)."""
+    shuffles on list id only; assignment auto-routes from literal column
+    expressions to the broadcast-matrix pandas UDF at
+    ``_IVF_UDF_MIN_LISTS`` (same trade-off as the index build's bucket
+    UDF path, with_bucket_and_xb)."""
     base = with_norm(emb, vec_col).select(F.col(id_col), "_v", "_norm")
     rows = _deterministic_sample(base.select(F.col(id_col), "_v"), sample_size, id_col)
     sample = np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
     cents = _kmeans_cents(sample, n_lists, n_iter)
-    return _ivf_search(base, query_filter, cents, k, n_probe, id_col, round_dp)
+    return _ivf_search(
+        base, query_filter, cents, k, n_probe, id_col, round_dp, assign_method
+    )
 
 
 def ivf_kmeans_centroids_from_parquet(

@@ -344,3 +344,40 @@ def test_cc_empty_pairs(spark):
     rows = {r["doc_id"]: r for r in neardup_resolve(docs, pairs).collect()}
     assert rows["x"]["keep"] == 1 and rows["x"]["cluster_id"] == "x"
     assert len(rows) == 2
+
+
+def test_ivf_udf_assignment_matches_expr(spark):
+    """The broadcast-matrix pandas-UDF assignment path (the large-n_lists
+    plan) must produce the same results as the literal-expression path on
+    the real table, for both centroid strategies, and be deterministic."""
+    from pyspark.sql import functions as F
+
+    from simplir_spark.operators.similarity import ivf_kmeans_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for fn, kw in [
+        (ivf_topk, {}),
+        (ivf_kmeans_topk, {"sample_size": 256}),
+    ]:
+        expr = sorted(
+            tuple(r)
+            for r in fn(
+                emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=4,
+                assign_method="expr", **kw
+            ).collect()
+        )
+        udf = sorted(
+            tuple(r)
+            for r in fn(
+                emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=4,
+                assign_method="udf", **kw
+            ).collect()
+        )
+        udf2 = sorted(
+            tuple(r)
+            for r in fn(
+                emb.repartition(5), F.col("vec_id") < 10, k=5, n_lists=16,
+                n_probe=4, assign_method="udf", **kw
+            ).collect()
+        )
+        assert expr == udf == udf2 and expr, fn.__name__
