@@ -86,6 +86,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
     def _real_features(payload: bytes) -> list[float]:
         from simplir_spark.functions.audiocodec import audio_features, try_decode_audio
+        from simplir_spark.functions.avicodec import try_decode_video, video_features
         from simplir_spark.functions.imagecodec import image_features, try_decode_image
 
         rgb = try_decode_image(payload)
@@ -94,11 +95,14 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
         clip = try_decode_audio(payload)
         if clip is not None:
             return audio_features(clip, dim)
+        vid = try_decode_video(payload)
+        if vid is not None:
+            return video_features(vid, dim)
         raise NotImplementedError(
-            "no decoder for this payload (pure-numpy BMP/PNG images and PCM "
-            "WAV audio are built in; other formats need PIL/libav, not in "
-            "this container); set SIMPLIR_FAKE_DECODE=1 for the "
-            "deterministic test path"
+            "no decoder for this payload (pure-numpy BMP/PNG/baseline-JPEG "
+            "images, PCM WAV audio, and MJPEG AVI video are built in; other "
+            "formats need PIL/libav, not in this container); set "
+            "SIMPLIR_FAKE_DECODE=1 for the deterministic test path"
         )
 
     def kernel(batches):
@@ -123,27 +127,48 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame.
+    """Video frame sampling: one output row per sampled frame.
 
-    The frame decode is stubbed like extract_features; the row-explosion
-    shape (media_id, frame_ts_ms, frame_payload) is the real contract.
+    Gate order mirrors extract_features: the deterministic fake when
+    SIMPLIR_FAKE_DECODE=1 (oracle-reproducible), else REAL decode for
+    MJPEG AVI (RIFF parse + per-frame JPEG payloads — each emitted
+    frame_payload is itself a decodable baseline JPEG), else
+    NotImplementedError — other containers/codecs need libav.  The
+    row-explosion shape (media_id, frame_ts_ms, frame_payload) is the
+    contract either way.
     """
     fake = os.environ.get("SIMPLIR_FAKE_DECODE") == "1"
 
     def kernel(batches):
+        from simplir_spark.functions.avicodec import try_decode_video
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decoding requires libav; set SIMPLIR_FAKE_DECODE=1"
-                )
             out_id, out_ts, out_frame = [], [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                dur = (meta or {}).get("duration_ms") or 0
-                for ts in range(0, int(dur), every_ms):
+                if fake:
+                    dur = (meta or {}).get("duration_ms") or 0
+                    for ts in range(0, int(dur), every_ms):
+                        out_id.append(mid)
+                        out_ts.append(ts)
+                        digest = hashlib.md5(
+                            bytes(payload) + ts.to_bytes(8, "big")
+                        ).digest()
+                        out_frame.append(digest)
+                    continue
+                clip = try_decode_video(bytes(payload))
+                if clip is None:
+                    raise NotImplementedError(
+                        "no video decoder for this payload (pure-python MJPEG "
+                        "AVI is built in; other formats need libav); set "
+                        "SIMPLIR_FAKE_DECODE=1 for the deterministic test path"
+                    )
+                for ts in range(0, clip.duration_ms, every_ms):
+                    idx = int(ts * clip.fps / 1000.0)
+                    if idx >= clip.n_frames:
+                        break
                     out_id.append(mid)
                     out_ts.append(ts)
-                    digest = hashlib.md5(bytes(payload) + ts.to_bytes(8, "big")).digest()
-                    out_frame.append(digest)
+                    out_frame.append(clip.frames[idx])
             yield pd.DataFrame(
                 {"media_id": out_id, "frame_ts_ms": out_ts, "frame_payload": out_frame}
             )

@@ -585,3 +585,94 @@ def test_real_jpeg_decode_through_spark_plumbing(spark, monkeypatch):
     row = extract_features(media, dim=8).collect()[0]
     assert row.feature == pytest.approx(image_features(rgb, 8))
     assert row.feature[0] == 32.0 and row.feature[1] == 24.0
+
+
+# ---------------------------------------------------------------------------
+# MJPEG AVI video (pure-python container + own JPEG frames)
+# ---------------------------------------------------------------------------
+
+def test_avi_codec_roundtrip():
+    """Minimal MJPEG AVI writer/reader: frame payloads survive bit-exactly,
+    frame rate and dimensions round-trip, each frame decodes as JPEG."""
+    import numpy as np
+
+    from simplir_spark.functions.avicodec import (
+        avi_decode_mjpeg,
+        avi_encode_mjpeg,
+        is_avi,
+    )
+    from simplir_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    h, w = 16, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = [
+        encode_jpeg(
+            np.stack(
+                [(xx * 10 + t * 37) % 256, (yy * 13) % 256,
+                 np.full((h, w), (t * 50) % 256)],
+                axis=2,
+            ).astype("uint8"),
+            quality=90,
+        )
+        for t in range(5)
+    ]
+    avi = avi_encode_mjpeg(frames, fps=4.0, width=w, height=h)
+    assert is_avi(avi)
+    clip = avi_decode_mjpeg(avi)
+    assert clip.frames == frames
+    assert clip.fps == 4.0 and (clip.width, clip.height) == (w, h)
+    assert clip.duration_ms == 1250
+    for f in clip.frames:
+        assert decode_jpeg(f).shape == (h, w, 3)
+
+
+def test_real_video_through_spark_plumbing(spark, monkeypatch):
+    """The committed AVI fixture goes through sample_frames and
+    extract_features WITHOUT the fake gate: sampled timestamps follow the
+    container's real frame rate, every emitted frame_payload is a
+    decodable JPEG, and video features carry (n_frames, fps)."""
+    import os as _os
+
+    import numpy as np
+
+    from simplir_spark.functions.avicodec import avi_decode_mjpeg
+    from simplir_spark.functions.jpegcodec import decode_jpeg
+    from simplir_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        sample_frames,
+    )
+
+    monkeypatch.delenv("SIMPLIR_FAKE_DECODE", raising=False)
+    payload = open(
+        _os.path.join(_os.path.dirname(__file__), "data", "tiny.avi"), "rb"
+    ).read()
+    clip = avi_decode_mjpeg(payload)
+    media = spark.createDataFrame(
+        [(7, "video", "video/x-msvideo", payload,
+          {"width": 24, "height": 16, "duration_ms": 1250})],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(media, every_ms=500).collect()
+    assert [(r.media_id, r.frame_ts_ms) for r in rows] == [
+        (7, 0), (7, 500), (7, 1000)
+    ]
+    # ts -> frame index at 4 fps: 0, 2, 4
+    for r, idx in zip(rows, (0, 2, 4)):
+        assert bytes(r.frame_payload) == clip.frames[idx]
+        assert decode_jpeg(bytes(r.frame_payload)).shape == (16, 24, 3)
+
+    feat = extract_features(media, dim=8).collect()[0]
+    assert feat.feature[0] == 5.0 and feat.feature[1] == 4.0  # n_frames, fps
+    mid = decode_jpeg(clip.frames[2]).reshape(-1, 3).astype(float)
+    assert feat.feature[2] == 24.0 and feat.feature[3] == 16.0
+    assert feat.feature[4] == pytest.approx(mid[:, 0].mean())
+
+    # unsupported payloads still refuse loudly on the real path
+    bad = spark.createDataFrame(
+        [(8, "video", "video/mp4", b"\x00\x01\x02notavideo",
+          {"width": 1, "height": 1, "duration_ms": 100})],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="no video decoder"):
+        sample_frames(bad, every_ms=50).collect()
