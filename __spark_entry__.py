@@ -640,15 +640,20 @@ def q_kappa_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis metrics (quality, Gopher repetition,
-    language ID, token counts) folded into one wide contract entry — all
-    four operators stay individually exercised and oracle-checked; the
-    join keys align because every sub-query covers the full documents
-    table."""
+    language ID, token counts, PII audit counts) folded into one wide
+    contract entry — all five operators stay individually exercised and
+    oracle-checked; the join keys align because every sub-query covers
+    the full documents table."""
+    from simplir_spark.operators.pii import pii_stats
+
     tq = q_text_quality(spark, sf_dir)
     rep = q_repetition_stats(spark, sf_dir).drop("n_tokens")
     lid = q_lang_id(spark, sf_dir)
     tc = q_token_counts(spark, sf_dir)
-    return tq.join(rep, "doc_id").join(lid, "doc_id").join(tc, "doc_id")
+    pii = pii_stats(_documents(spark, sf_dir))
+    return (
+        tq.join(rep, "doc_id").join(lid, "doc_id").join(tc, "doc_id").join(pii, "doc_id")
+    )
 
 
 def _l2r_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2348,13 +2353,17 @@ def oracle_sql() -> dict[str, str]:
     FROM ({sql.pop("cohen_kappa")}) c CROSS JOIN ({sql.pop("fleiss_kappa")}) f
     """
 
+    from simplir_spark.operators.pii import pii_oracle_sql_columns
+
     sql["text_metrics"] = f"""
     SELECT tq.*, rep.dup_token_frac, rep.dup_2gram_frac, rep.dup_3gram_frac,
-           lid.lang_pred, lid.lang_score, tc.n_ws, tc.n_bpe
+           lid.lang_pred, lid.lang_score, tc.n_ws, tc.n_bpe,
+           pii.n_email, pii.n_url, pii.n_ipv4, pii.n_phone, pii.n_pii
     FROM ({sql.pop("text_quality")}) tq
     JOIN ({sql.pop("repetition_stats")}) rep USING (doc_id)
     JOIN ({sql.pop("lang_id")}) lid USING (doc_id)
     JOIN ({sql.pop("token_counts")}) tc USING (doc_id)
+    JOIN (SELECT doc_id, {pii_oracle_sql_columns()} FROM documents) pii USING (doc_id)
     """
 
     # independent CC oracle: recursive-CTE transitive closure over the

@@ -81,3 +81,56 @@ def test_repetition_stats_hand_computed(spark):
     assert got[4]["dup_token_frac"] == round(2 / 3, 6)
     assert got[4]["dup_2gram_frac"] == 0.5
     assert got[4]["dup_3gram_frac"] == 0.0
+
+
+def test_pii_stats_and_redaction_planted(spark):
+    """Planted PII of every class is counted and redacted; clean text is
+    untouched; URL digits are not double-matched as phones."""
+    from simplir_spark.operators.pii import pii_stats, redact_pii
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.org or bob@sub.host.co"),
+        (2, "see https://example.com/a/123-456-7890?q=1 for details"),
+        (3, "server at 10.0.255.7 and call +1 (415) 555-0132 now"),
+        (4, "a perfectly clean sentence with number 42 and word seven"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_stats(docs).collect()}
+    assert (got[1].n_email, got[1].n_pii) == (2, 2)
+    assert (got[2].n_url, got[2].n_phone, got[2].n_pii) == (1, 0, 1)
+    assert (got[3].n_ipv4, got[3].n_phone, got[3].n_pii) == (1, 1, 2)
+    assert got[4].n_pii == 0 and got[5].n_pii == 0
+
+    red = {r.doc_id: r.redacted_text for r in redact_pii(docs).collect()}
+    assert red[1] == "contact me at <EMAIL> or <EMAIL>"
+    assert red[2] == "see <URL> for details"
+    assert "<IPV4>" in red[3] and "<PHONE>" in red[3]
+    assert "555" not in red[3] and "10.0.255.7" not in red[3]
+    assert red[4] == rows[3][1] and red[5] == ""
+
+
+def test_pii_counts_match_duckdb_patterns(spark):
+    """The Spark regexp_count and the oracle's regexp_extract_all must
+    agree on awkward inputs (shared Java/RE2 pattern subset)."""
+    import duckdb
+
+    from simplir_spark.operators.pii import pii_oracle_sql_columns, pii_stats
+
+    rows = [
+        (1, "a@b.co c@d.io http://x.io/9-555-123-4567 9.9.9.9"),
+        (2, "+44 20 7946 0958, 999.999.999.999, not@an@email"),
+        (3, "digits 12 34 56 78 90 11 22 in prose and v1.2.3.4 tag"),
+        (4, "mixed: foo@bar.museum https://a.b/c?d=e#f 0.0.0.0 (02) 1234 5678"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_rows = {r.doc_id: r.asDict() for r in pii_stats(docs).collect()}
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    ora = con.sql(
+        f"SELECT doc_id, {pii_oracle_sql_columns()} FROM documents"
+    ).df()
+    for _, orow in ora.iterrows():
+        srow = spark_rows[orow.doc_id]
+        for c in ("n_email", "n_url", "n_ipv4", "n_phone", "n_pii"):
+            assert srow[c] == orow[c], (orow.doc_id, c, srow[c], orow[c])
