@@ -762,19 +762,29 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring dedup (Lee et al. 2021): maximal token
     spans >= SPAN_N long whose windows occur >= 2 times corpus-wide,
     joined with the per-doc strip stats so detection AND removal are
-    both oracle-checked: (doc_id, span_start, span_end, n_tokens,
-    n_removed, cleaned_text)."""
+    both oracle-checked, in BOTH keep modes (mode='all' removes every
+    occurrence; mode='first' exempts each window's canonical lowest-
+    (doc,pos) occurrence so one copy survives): (doc_id, span_start,
+    span_end, n_tokens, n_removed, cleaned_text, mode)."""
     from simplir_spark.operators.substring_dedup import (
         repeated_spans,
         strip_repeated_spans,
     )
 
     tok = _tokenized_docs(spark, sf_dir)
-    spans = repeated_spans(tok, n=SPAN_N)
-    stripped = strip_repeated_spans(tok, spans)
-    return spans.join(stripped, "doc_id").select(
-        "doc_id", "span_start", "span_end", "n_tokens", "n_removed", "cleaned_text"
-    )
+    outs = []
+    for mode in ("all", "first"):
+        spans = repeated_spans(tok, n=SPAN_N, keep=mode)
+        stripped = strip_repeated_spans(tok, spans)
+        outs.append(
+            spans.join(stripped, "doc_id")
+            .withColumn("mode", F.lit(mode))
+            .select(
+                "doc_id", "span_start", "span_end", "n_tokens", "n_removed",
+                "cleaned_text", "mode",
+            )
+        )
+    return outs[0].unionByName(outs[1])
 
 
 def q_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1936,7 +1946,21 @@ def oracle_sql() -> dict[str, str]:
     FROM ids LEFT JOIN hits USING (doc_id)
     """
 
-    sql["repeated_spans"] = f"""
+    _span_d_cte = {
+        "all": """
+    duph AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+    d AS (SELECT w.doc_id, w.pos FROM w JOIN duph USING (h)),""",
+        # canonical (rank-1 by doc,pos per hash) occurrences exempted —
+        # ranks >= 2 exist only for duplicated hashes
+        "first": """
+    rnk AS (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM w),
+    d AS (SELECT doc_id, pos FROM rnk WHERE rn >= 2),""",
+    }
+
+    def _span_mode_sql(mode: str) -> str:
+        return f"""
     WITH tk AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 2) AS toks
       FROM documents
@@ -1945,9 +1969,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, i - 1 AS pos,
              ('0x' || substr(md5(array_to_string(toks[i:i+{SPAN_N - 1}], ' ')), 1, 15))::BIGINT AS h
       FROM tk, unnest(generate_series(1, len(toks) - {SPAN_N - 1})) AS g(i)
-    ),
-    duph AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
-    d AS (SELECT w.doc_id, w.pos FROM w JOIN duph USING (h)),
+    ),{_span_d_cte[mode]}
     isl AS (
       SELECT doc_id, pos,
              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {SPAN_N}
@@ -1981,12 +2003,18 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT sp.doc_id, sp.span_start, sp.span_end,
            CAST(len(tk.toks) AS BIGINT) AS n_tokens, rm.n_removed,
-           coalesce(c.cleaned_text, '') AS cleaned_text
+           coalesce(c.cleaned_text, '') AS cleaned_text,
+           '{mode}' AS mode
     FROM spans sp
     JOIN tk USING (doc_id)
     JOIN rm USING (doc_id)
     LEFT JOIN cleaned c USING (doc_id)
     """
+
+    sql["repeated_spans"] = (
+        f"SELECT * FROM ({_span_mode_sql('all')}) "
+        f"UNION ALL SELECT * FROM ({_span_mode_sql('first')})"
+    )
 
     sql["bag_ops"] = f"""
     WITH {_TOK},

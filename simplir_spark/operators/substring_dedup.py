@@ -143,6 +143,7 @@ def repeated_spans(
     n: int = 50,
     id_col: str = "doc_id",
     method: str = "expr",
+    keep: str = "all",
 ) -> DataFrame:
     """Maximal duplicated token spans: (id, span_start, span_end) with
     span_end exclusive, each span >= ``n`` tokens long and made of
@@ -151,20 +152,40 @@ def repeated_spans(
 
     ``method="expr"`` (default) hashes windows with a JVM md5 expression —
     oracle-reproducible, O(n) bytes hashed per window.  ``method="rolling"``
-    uses the vectorized Karp-Rabin kernel — same spans, the 100-TB path."""
+    uses the vectorized Karp-Rabin kernel — same spans, the 100-TB path.
+
+    ``keep="all"`` (default) marks EVERY occurrence of duplicated content
+    (strip removes them all).  ``keep="first"`` exempts each window's
+    canonical occurrence — the lowest (id, pos) — so the first copy of a
+    repeated block survives stripping whole (every one of its windows is
+    canonical) while later copies are still removed: the Lee et al.
+    "remove all but one" training-pipeline semantics.  Same shuffle
+    shape: one exchange on the window hash either way."""
     if method == "rolling":
         w = positional_window_hashes_rolling(tokenized, n, id_col)
     elif method == "expr":
         w = positional_window_hashes(tokenized, n, id_col)
     else:
         raise ValueError(f"unknown method: {method!r}")
-    dup_h = (
-        w.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") >= 2)
-        .select("h")
-    )
-    dup = w.join(dup_h, "h")
+    if keep == "first":
+        # occurrence rank 1 per hash = the canonical copy; ranks >= 2
+        # exist only for duplicated hashes, so no separate count pass
+        wh = Window.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
+        dup = (
+            w.withColumn("_rn", F.row_number().over(wh))
+            .filter(F.col("_rn") >= 2)
+            .drop("_rn")
+        )
+    elif keep == "all":
+        dup_h = (
+            w.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") >= 2)
+            .select("h")
+        )
+        dup = w.join(dup_h, "h")
+    else:
+        raise ValueError(f"unknown keep mode: {keep!r}")
     # gaps-and-islands: windows [p, p+n) and [q, q+n), p < q, belong to
     # one span iff q - p <= n (overlap or adjacency)
     byd = Window.partitionBy(id_col).orderBy("pos")

@@ -168,3 +168,69 @@ def test_spans_are_disjoint_and_cover_only_duplicated_windows(spark):
         for s, e in sp:
             for p in range(s, e - n + 1):
                 assert (did, p) in dup_pos, (did, p)
+
+
+def test_keep_first_preserves_canonical_copy(spark):
+    """keep='first': the lowest-(doc,pos) copy of a repeated block
+    survives stripping whole; later copies (cross-doc AND within-doc)
+    are still removed; unique content is never touched."""
+    from simplir_spark.operators.substring_dedup import (
+        repeated_spans,
+        strip_repeated_spans,
+    )
+
+    blk = [f"blk{i}" for i in range(10)]
+    a = [f"a{i}" for i in range(4)] + blk + [f"az{i}" for i in range(3)]
+    b = [f"b{i}" for i in range(6)] + blk + [f"bz{i}" for i in range(2)]
+    c = blk + [f"c{i}" for i in range(5)] + blk  # within-doc repeat too
+    fix = _tokdf(spark, [(1, a), (2, b), (3, c), (4, ["solo", "words"])])
+
+    spans_first = repeated_spans(fix, n=5, keep="first")
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans_first.collect()}
+    # canonical copy = doc 1 (lowest id): its block survives; doc 2's and
+    # BOTH of doc 3's copies are marked (doc 3's first copy is still not
+    # the global canonical)
+    assert all(d != 1 for d, _, _ in got)
+    assert any(d == 2 for d, _, _ in got) and any(d == 3 for d, _, _ in got)
+
+    stripped = {
+        r.doc_id: r for r in strip_repeated_spans(fix, spans_first).collect()
+    }
+    assert stripped[1].n_removed == 0
+    assert stripped[1].cleaned_text == " ".join(a)
+    assert stripped[2].n_removed >= len(blk)
+    assert "blk0" not in stripped[2].cleaned_text
+    assert "blk0" not in stripped[3].cleaned_text
+    assert stripped[4].n_removed == 0
+
+    # keep='all' removes every copy including the canonical
+    spans_all = repeated_spans(fix, n=5, keep="all")
+    all_stripped = {
+        r.doc_id: r for r in strip_repeated_spans(fix, spans_all).collect()
+    }
+    assert all_stripped[1].n_removed >= len(blk)
+
+
+def test_keep_first_rolling_matches_expr(spark):
+    """keep='first' composes with the Karp-Rabin scale path."""
+    from simplir_spark.operators.substring_dedup import repeated_spans
+
+    blk = [f"sh{i}" for i in range(8)]
+    fix = _tokdf(
+        spark,
+        [
+            (1, [f"p{i}" for i in range(3)] + blk),
+            (2, blk + [f"q{i}" for i in range(4)]),
+            (3, [f"r{i}" for i in range(6)] + blk + [f"s{i}" for i in range(2)]),
+        ],
+    )
+    for n in (4, 6):
+        a = {
+            tuple(r)
+            for r in repeated_spans(fix, n=n, keep="first", method="rolling").collect()
+        }
+        b = {
+            tuple(r)
+            for r in repeated_spans(fix, n=n, keep="first", method="expr").collect()
+        }
+        assert a == b and a
