@@ -451,17 +451,24 @@ def q_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P@k and RR folded into one per-query contract entry (shared run +
-    qrels), keeping both metrics oracle-checked inside the driver's
-    50-entry window."""
-    from simplir_spark.operators.evaluation import precision_at_k, reciprocal_rank
+    """P@k, RR, and nDCG@k folded into one per-query contract entry
+    (shared run + qrels), keeping all three metrics oracle-checked inside
+    the driver's 50-entry window."""
+    from simplir_spark.operators.evaluation import (
+        ndcg_at_k,
+        precision_at_k,
+        reciprocal_rank,
+    )
 
     run, qrels = _run_and_qrels(spark, sf_dir)
     p = precision_at_k(run, qrels, K).select(
         "qid", F.round(f"p_at_{K}", DP).alias("p_at_k")
     )
     r = reciprocal_rank(run, qrels).select("qid", F.round("rr", DP).alias("rr"))
-    return p.join(r, "qid")
+    n = ndcg_at_k(run, qrels, K).select(
+        "qid", F.round(f"ndcg_at_{K}", DP).alias("ndcg_at_k")
+    )
+    return p.join(r, "qid").join(n, "qid")
 
 
 def _run_and_qrels(spark: SparkSession, sf_dir: str):
@@ -2082,6 +2089,38 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY r.query_id
     """
 
+    # nDCG@k, binary relevance on this fixture: DCG = sum 1/log2(rank+1)
+    # over relevant retrieved; IDCG closed-form over min(n_rel, k) ranks
+    sql["ndcg_at_k"] = f"""
+    WITH {_TOK}, {_BM25_SCORED},
+    ranked AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM scored
+    ),
+    run AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {K}),
+    nq AS (SELECT query_id, count(*) AS n_q FROM q GROUP BY query_id),
+    qrel AS (
+      SELECT q.query_id, tf.doc_id
+      FROM q JOIN tf USING (term)
+      GROUP BY q.query_id, tf.doc_id
+      HAVING count(*) = max((SELECT n_q FROM nq WHERE nq.query_id = q.query_id))
+    ),
+    totals AS (SELECT query_id, count(*) AS n_rel FROM qrel GROUP BY query_id),
+    dcg AS (
+      SELECT r.query_id, sum(1.0 / log2(r.rank + 1.0)) AS dcg
+      FROM run r JOIN qrel qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+      GROUP BY r.query_id
+    ),
+    idcg AS (
+      SELECT query_id, sum(1.0 / log2(i + 1.0)) AS idcg
+      FROM totals, unnest(generate_series(1, least(n_rel, {K}))) AS g(i)
+      GROUP BY query_id
+    )
+    SELECT i.query_id AS qid, round(coalesce(d.dcg, 0) / i.idcg, 6) AS ndcg_at_k
+    FROM idcg i LEFT JOIN dcg d USING (query_id)
+    """
+
     # winnowing: k-gram (k=5) polynomial rolling hash over md5-derived
     # 31-bit token hashes (same constants as the Spark kernel), per-4-window
     # minima, distinct scalar rows
@@ -2368,9 +2407,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["rank_metrics"] = f"""
-    SELECT p.qid, p.p_at_k, r.rr
+    SELECT p.qid, p.p_at_k, r.rr, n.ndcg_at_k
     FROM ({sql.pop("prec_at_k")}) p
     JOIN ({sql.pop("reciprocal_rank")}) r USING (qid)
+    JOIN ({sql.pop("ndcg_at_k")}) n USING (qid)
     """
 
     sql["kappa_stats"] = f"""

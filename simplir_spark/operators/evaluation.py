@@ -60,6 +60,45 @@ def reciprocal_rank(run: DataFrame, qrels: DataFrame) -> DataFrame:
     return first.withColumn("rr", F.lit(1.0) / F.col("first_rel")).select("qid", "rr")
 
 
+def ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
+    """Per-query nDCG@k with graded relevance (trec_eval `ndcg_cut.k`
+    semantics, the standard log2 gain form):
+
+      DCG@k  = sum over retrieved docs at rank<=k of rel / log2(rank+1)
+      IDCG@k = same sum over the qrels' relevances sorted descending
+      nDCG@k = DCG@k / IDCG@k
+
+    Queries with no positively-assessed documents are excluded, matching
+    the meanAvgPrec convention above.  Windows + joins only, no UDFs —
+    the ideal ranking never materializes document ids, just a per-query
+    sorted-relevance window over the (small) qrels side.
+    """
+    rel = qrels.filter(F.col("relevance") > 0).select(
+        "qid", "doc", F.col("relevance").cast("double").alias("_rel")
+    )
+    discount = F.log2(F.col("rank").cast("double") + F.lit(1.0))
+    dcg = (
+        run.filter(F.col("rank") <= k)
+        .join(rel, ["qid", "doc"], "inner")
+        .groupBy("qid")
+        .agg(F.sum(F.col("_rel") / discount).alias("dcg"))
+    )
+    iw = Window.partitionBy("qid").orderBy(F.desc("_rel"), F.col("doc"))
+    ideal = (
+        rel.withColumn("rank", F.row_number().over(iw))
+        .filter(F.col("rank") <= k)
+        .groupBy("qid")
+        .agg(F.sum(F.col("_rel") / discount).alias("idcg"))
+    )
+    return (
+        ideal.join(dcg, "qid", "left")
+        .withColumn(
+            f"ndcg_at_{k}", F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")
+        )
+        .select("qid", f"ndcg_at_{k}")
+    )
+
+
 def merge_rankings(runs: list[DataFrame], k: int | None = None) -> DataFrame:
     """Merge multiple run DataFrames, re-ranking per (qid, method) by
     (-score, doc) — the MergeRankings tool

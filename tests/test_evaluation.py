@@ -143,13 +143,15 @@ def test_map_differential_vs_naive_avgprec(spark):
 
 def _trec_eval_py(qrel_lines, run_lines, k):
     """Independent pure-Python reimplementation of trec_eval's map / P_k /
-    recip_rank over TREC-format TEXT LINES (the external binary the
-    reference shells out to, SimplIR/TrecEval.hs:58-81, with
+    recip_rank / ndcg_cut.k over TREC-format TEXT LINES (the external
+    binary the reference shells out to, SimplIR/TrecEval.hs:58-81, with
     ExcludeMissingQueries).  Deliberately shares NO code with
     simplir_spark.operators.evaluation: dict-and-sort, not windows/joins.
 
-    Returns (map_value_or_None, {qid: p_at_k}, {qid: rr}).
+    Returns (map_value_or_None, {qid: p_at_k}, {qid: rr}, {qid: ndcg}).
     """
+    import math
+
     n_rel = {}
     rel_docs = {}
     for ln in qrel_lines:
@@ -161,7 +163,7 @@ def _trec_eval_py(qrel_lines, run_lines, k):
     for ln in run_lines:
         qid, _, doc, _rank, score, _m = ln.split()
         runs.setdefault(qid, []).append((float(score), doc))
-    aps, p_at_k, rr = [], {}, {}
+    aps, p_at_k, rr, ndcg = [], {}, {}, {}
     for qid, entries in runs.items():
         # trec_eval re-sorts by score desc (doc desc tiebreak); the
         # property generates distinct scores so ties never arise
@@ -180,7 +182,18 @@ def _trec_eval_py(qrel_lines, run_lines, k):
             aps.append(ap_sum / n_rel[qid])
         p_at_k[qid] = sum(1 for d in ranked[:k] if d in relset) / k
         rr[qid] = 0.0 if first_rel is None else 1.0 / first_rel
-    return (sum(aps) / len(aps) if aps else None), p_at_k, rr
+        if n_rel.get(qid, 0) > 0:
+            dcg = sum(
+                1.0 / math.log2(pos + 1)
+                for pos, doc in enumerate(ranked[:k], start=1)
+                if doc in relset
+            )
+            idcg = sum(
+                1.0 / math.log2(i + 1)
+                for i in range(1, min(k, n_rel[qid]) + 1)
+            )
+            ndcg[qid] = dcg / idcg
+    return (sum(aps) / len(aps) if aps else None), p_at_k, rr, ndcg
 
 
 def _assessed_to_lines(queries):
@@ -204,6 +217,7 @@ def test_trec_eval_differential_hypothesis(spark, tmp_path):
 
     from simplir_spark.operators.evaluation import (
         mean_average_precision,
+        ndcg_at_k,
         precision_at_k,
         reciprocal_rank,
     )
@@ -238,7 +252,9 @@ def test_trec_eval_differential_hypothesis(spark, tmp_path):
         run = read_trec_run(spark, str(base / "run.txt"))
         qrels = read_qrels(spark, str(base / "qrels.txt"))
 
-        want_map, want_p, want_rr = _trec_eval_py(qrel_lines, run_lines, K)
+        want_map, want_p, want_rr, want_ndcg = _trec_eval_py(
+            qrel_lines, run_lines, K
+        )
 
         got_map = mean_average_precision(run, qrels).collect()[0]["map"]
         if want_map is None:
@@ -259,15 +275,31 @@ def test_trec_eval_differential_hypothesis(spark, tmp_path):
         for qid in got_rr:
             assert got_rr[qid] == pytest.approx(want_rr[qid], rel=1e-2, abs=1e-9), qid
 
+        # engine nDCG is anchored on the qrels side (all qids with >=1
+        # relevant doc), exactly the set the independent evaluator scores
+        got_ndcg = {
+            r["qid"]: r[f"ndcg_at_{K}"] for r in ndcg_at_k(run, qrels, K).collect()
+        }
+        assert set(got_ndcg) == set(want_ndcg)
+        for qid in want_ndcg:
+            assert got_ndcg[qid] == pytest.approx(
+                want_ndcg[qid], rel=1e-2, abs=1e-9
+            ), qid
+
     check()
 
 
 def test_trec_eval_py_known_value():
     """Anchor the independent evaluator itself on a hand-computed case so
     the differential can't pass by both sides being wrong the same way."""
+    import math
+
     qrels = ["q1 0 a 1", "q1 0 b 0", "q1 0 c 1", "q1 0 w 1"]
     run = ["q1 Q0 a 1 -1.0 t", "q1 Q0 b 2 -2.0 t", "q1 Q0 c 3 -3.0 t"]
-    m, p, rr = _trec_eval_py(qrels, run, 2)
+    m, p, rr, ndcg = _trec_eval_py(qrels, run, 2)
     assert m == pytest.approx((1.0 + 2.0 / 3.0) / 3.0)  # R=3 incl. missed w
     assert p["q1"] == pytest.approx(0.5)
     assert rr["q1"] == pytest.approx(1.0)
+    # DCG@2 = 1/log2(2) (only `a` relevant in top-2); IDCG@2 over 2 of the
+    # 3 relevant docs = 1/log2(2) + 1/log2(3)
+    assert ndcg["q1"] == pytest.approx(1.0 / (1.0 + 1.0 / math.log2(3.0)))
