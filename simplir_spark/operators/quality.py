@@ -18,6 +18,10 @@ Python in either hot path.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -89,26 +93,139 @@ def lm_cross_entropy(
     return out
 
 
+def bloom_parameters(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n ln(p)/ln(2)^2 bits (rounded up to a
+    64-bit word), k = m/n ln(2) hash functions."""
+    n = max(1, n_items)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_positions(col, m_bits: int, k: int):
+    """Array expression of the k Bloom bit positions for a string column,
+    entirely JVM-side, identical on the build and probe paths.
+
+    Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m with
+    h1 = xxhash64(col), h2 = xxhash64(col, 1).  Both hashes are
+    pmod-clamped to [0, m) BEFORE the linear combination so the int64
+    arithmetic can never overflow (ANSI mode would raise); h2 is forced
+    odd so a zero stride cannot collapse the k probes onto one bit.
+    """
+    h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m_bits))
+    h2 = h2 - F.pmod(h2, F.lit(2)) + F.lit(1)  # force odd, stays < m+1
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+    )
+
+
+def build_bloom_bitset(
+    values: DataFrame, col: str, n_items: int, fpp: float = 0.01
+):
+    """Aggregate a distributed Bloom filter over ``values[col]`` and
+    return (numpy uint64 bitset, m_bits, k).
+
+    Bit positions are computed JVM-side, OR-reduced per 64-bit word with
+    a map-side-combinable ``bit_or`` groupBy, and only the non-zero words
+    are collected: driver traffic is <= m/64 longs regardless of input
+    row count (for 10^8 benchmark n-grams at 1% FPP that is ~15M words /
+    120 MB — a bounded, documented driver cost; the raw string set it
+    replaces would be 10-100x larger and unbroadcastable).
+    """
+    m_bits, k = bloom_parameters(n_items, fpp)
+    pos = F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("pos")
+    words = (
+        values.select(pos)
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+        .collect()
+    )
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        bits[int(r["w"])] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+    return bits, m_bits, k
+
+
+def bloom_prefilter(
+    df: DataFrame, col: str, bits, m_bits: int, k: int
+) -> DataFrame:
+    """Keep only rows whose ``col`` MIGHT be in the Bloom bitset (no
+    false negatives).  The k positions are computed JVM-side; the bitset
+    probe is one Arrow-batched numpy gather (vectorized over the whole
+    batch x k probes at once), with the bitset shipped once per executor
+    via sc.broadcast — the standard cluster-side membership-test shape.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(bits)
+
+    @pandas_udf("boolean")
+    def _might_contain(pos_lists: pd.Series) -> pd.Series:
+        b = bc.value
+        if len(pos_lists) == 0:
+            return pd.Series([], dtype=bool)
+        pos = np.vstack(pos_lists.to_numpy())  # (rows, k) int64 in [0, m)
+        hit = (b[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(hit.all(axis=1))
+
+    return df.filter(
+        _might_contain(_bloom_positions(F.col(col), m_bits, k))
+    )
+
+
 def decontaminate(
     shingles: DataFrame,
     benchmark_shingles: DataFrame,
     id_col: str = "doc_id",
+    method: str = "broadcast",
+    bloom_fpp: float = 0.01,
 ) -> DataFrame:
     """(id, n_hits, contaminated) — per doc, how many of its distinct
     token n-grams appear in the benchmark set.
 
     ``shingles``/``benchmark_shingles``: (id, shingle) as produced by
-    dedup.ngram_shingles (distinct per doc).  The benchmark side is
-    distinct-projected to (shingle) and the overlap is one equi-join; at
-    10^12-doc scale the benchmark n-gram set (test suites are small) is
-    broadcastable, so the corpus side never shuffles.
+    dedup.ngram_shingles (distinct per doc).
+
+    method="broadcast" (default): the benchmark side is
+    distinct-projected to (shingle) and the overlap is one broadcast
+    equi-join; right while the benchmark n-gram set fits the broadcast
+    budget (single test suites), so the corpus side never shuffles.
+
+    method="bloom": for benchmark UNIONS too large to broadcast as raw
+    strings (10^8+ n-grams), build a Bloom bitset over the benchmark
+    shingles (10-100x smaller than the strings), prefilter the corpus
+    side executor-locally, then CONFIRM survivors with the exact
+    equi-join — Bloom has no false negatives and the join removes the
+    false positives, so the result is bit-identical to the exact path
+    while the shuffle carries only |benchmark| + fpp*|corpus| candidate
+    rows instead of the whole corpus shingle table.
     """
     bench = benchmark_shingles.select("shingle").distinct()
-    hits = (
-        shingles.join(F.broadcast(bench), "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    if method == "bloom":
+        n_bench = bench.count()
+        bits, m_bits, k = build_bloom_bitset(bench, "shingle", n_bench, bloom_fpp)
+        candidates = bloom_prefilter(shingles, "shingle", bits, m_bits, k)
+        # exact confirm join (shuffle hash, NOT broadcast: this path
+        # exists precisely because bench exceeds the broadcast budget)
+        hits = (
+            candidates.join(bench.hint("shuffle_hash"), "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+    elif method == "broadcast":
+        hits = (
+            shingles.join(F.broadcast(bench), "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+    else:
+        raise ValueError(f"decontaminate: unknown method {method!r}")
     all_ids = shingles.select(id_col).distinct()
     return all_ids.join(hits, id_col, "left").select(
         id_col,

@@ -55,6 +55,51 @@ def test_decontaminate_planted_copy(spark):
     assert out[3] == (0, False)
 
 
+def test_decontaminate_bloom_matches_broadcast(spark, corpus_small):
+    """The Bloom scale path (bitset prefilter + exact confirm join) must
+    be bit-identical to the exact broadcast path: no false negatives by
+    construction, false positives removed by the confirm join."""
+    tok = with_tokens(corpus_small).withColumnRenamed("doc_key", "doc_id")
+    sh = ngram_shingles(tok, n=3)
+    # benchmark = shingles of a deterministic ~1/7 of docs (mixed hit/miss)
+    bench = sh.filter(F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0).select(
+        "doc_id", "shingle"
+    )
+    exact = sorted(
+        tuple(r) for r in decontaminate(sh, bench, method="broadcast").collect()
+    )
+    bloom = sorted(
+        tuple(r)
+        for r in decontaminate(sh, bench, method="bloom", bloom_fpp=0.05).collect()
+    )
+    assert bloom == exact
+    assert any(r[2] for r in exact) and not all(r[2] for r in exact)
+
+
+def test_bloom_bitset_no_false_negatives_and_bounded_fp(spark):
+    """Membership contract of the Bloom primitive itself: every inserted
+    value passes the prefilter; the FP rate on disjoint values stays near
+    the configured fpp (generous x5 bound for a small-m fixture)."""
+    from simplir_spark.operators.quality import (
+        bloom_parameters,
+        bloom_prefilter,
+        build_bloom_bitset,
+    )
+
+    n = 2000
+    inserted = spark.range(n).select(
+        F.concat(F.lit("in-"), F.col("id")).alias("v")
+    )
+    other = spark.range(20000).select(
+        F.concat(F.lit("out-"), F.col("id")).alias("v")
+    )
+    bits, m, k = build_bloom_bitset(inserted, "v", n, fpp=0.01)
+    assert (m, k) == bloom_parameters(n, 0.01)
+    assert bloom_prefilter(inserted, "v", bits, m, k).count() == n
+    fp = bloom_prefilter(other, "v", bits, m, k).count()
+    assert fp / 20000 <= 0.05
+
+
 def test_repetition_stats_hand_computed(spark):
     """Hand-checked duplicate-token / duplicate-n-gram fractions,
     including the too-short-for-n-gram edge (fraction 0)."""
