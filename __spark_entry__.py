@@ -209,15 +209,25 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic key-hash corpus sampling: the keep decision is a
-    pure function of md5(doc_id:seed) — reproducible across engines,
-    partitionings, and retries (unlike partition-RNG df.sample)."""
-    from simplir_spark.operators.packing import sample_deterministic
-
-    return sample_deterministic(
-        _corpus(spark, sf_dir).select(F.col("doc_key").alias("doc_id")),
-        rate=0.25, seed=7,
+    """Deterministic corpus sampling, two modes folded into one entry:
+    'rate' — keep decision a pure function of md5(doc_id:seed)
+    (reproducible across engines/partitionings/retries, unlike
+    partition-RNG df.sample); 'stratified' — EXACT per-language quotas in
+    key-hash order via the bucket-histogram selection (no full per-group
+    sort), the language/domain mixing draw of a training pipeline."""
+    from simplir_spark.operators.packing import (
+        sample_deterministic,
+        sample_stratified,
     )
+
+    docs = _documents(spark, sf_dir)
+    rate = sample_deterministic(
+        docs.select("doc_id"), rate=0.25, seed=7
+    ).select(F.lit("rate").alias("method"), "doc_id")
+    strat = sample_stratified(
+        docs.select("doc_id", "lang"), "lang", 30, key_col="doc_id", seed=7
+    ).select(F.lit("stratified").alias("method"), "doc_id")
+    return rate.unionByName(strat)
 
 
 def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1556,11 +1566,22 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # rate=0.25, seed=7: keep iff int(first 8 md5 hex of 'doc_id:7') <
-    # 0.25 * 16^8 — the identical pure-key decision on both engines
+    # 0.25 * 16^8 — the identical pure-key decision on both engines.
+    # stratified: exactly 30 docs per lang, smallest (hash, doc_id) first
+    # — the naive window twin of the engine's bucket-histogram selection
     sql["corpus_sample"] = f"""
-    SELECT doc_id FROM documents
+    SELECT 'rate' AS method, doc_id FROM documents
     WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
           < {int(0.25 * (16 ** 8))}
+    UNION ALL
+    SELECT 'stratified' AS method, doc_id FROM (
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT,
+                 doc_id
+      ) AS rn
+      FROM documents
+    ) WHERE rn <= 30
     """
 
     # token_budget=2048; exclusive prefix sum of doc_len in doc_id order

@@ -86,11 +86,95 @@ def sample_deterministic(
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8),
+    return df.filter(_key_hash(key_col, seed) < F.lit(int(rate * (16**8))))
+
+
+def _key_hash(key_col: str, seed: int):
+    """The pure-key sampling hash shared by rate and stratified sampling:
+    first 8 md5 hex digits of ``key:seed`` as a long in [0, 16^8)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))),
+            1, 8,
+        ),
         16, 10,
     ).cast("long")
-    return df.filter(bucket < F.lit(int(rate * (16**8))))
+
+
+def sample_stratified(
+    df: DataFrame,
+    group_col: str,
+    quota,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Keep EXACTLY min(quota, n_g) rows per group — the smallest
+    ``quota`` rows of each group in (key-hash, key) order, so the draw is
+    a pure function of the key set: reproducible across engines,
+    partitionings, and retries, like ``sample_deterministic`` but with a
+    hard per-stratum count (language/domain mixing needs counts, not
+    rates).  ``quota`` is an int (uniform) or a {group: int} dict (groups
+    absent from the dict are dropped).
+
+    Scale shape: a naive row_number() per group sorts EVERY group's full
+    row set through one task — a 10^11-row stratum would funnel through a
+    single sorter.  Instead the hash range is histogrammed into
+    ``n_buckets`` per group (one map-side-combinable groupBy; driver sees
+    <= n_groups * n_buckets counts), the driver finds each group's cutoff
+    bucket by exclusive scan, and only the single BOUNDARY bucket per
+    group (~n_g/n_buckets rows) goes through a window sort; everything
+    below the cutoff passes with no sort at all.  Driver memory is
+    O(n_groups * n_buckets) — strata are languages/domains/sources
+    (10..10^4 of them), not unbounded keys.
+    """
+    width = (16 ** 8) // n_buckets
+    hdf = df.withColumn("_h", _key_hash(key_col, seed)).withColumn(
+        "_b", F.expr(f"_h div {width}").cast("long")
+    )
+    from collections import defaultdict
+
+    hist = defaultdict(dict)
+    for r in (
+        hdf.groupBy(F.col(group_col).alias("g"), "_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ):
+        hist[r["g"]][int(r["_b"])] = int(r["c"])
+    cut_rows = []  # (group, cut_bucket, need_in_boundary)
+    for g in sorted(hist, key=str):
+        q = quota.get(g, 0) if isinstance(quota, dict) else int(quota)
+        if q <= 0:
+            continue
+        remaining = q
+        buckets = sorted(hist[g])
+        cut_b, need = buckets[-1] + 1, 0  # quota >= n_g: keep the group whole
+        for b in buckets:
+            c = hist[g][b]
+            if c >= remaining:
+                cut_b, need = b, remaining
+                break
+            remaining -= c
+        cut_rows.append((g, cut_b, need))
+    spark = df.sparkSession
+    if not cut_rows:
+        return df.filter(F.lit(False))
+    cuts = spark.createDataFrame(
+        [(str(g), int(cb), int(nd)) for g, cb, nd in cut_rows],
+        "_g string, _cut long, _need long",
+    )
+    joined = hdf.join(
+        F.broadcast(cuts), hdf[group_col].cast("string") == cuts["_g"], "inner"
+    )
+    below = joined.filter(F.col("_b") < F.col("_cut"))
+    boundary = joined.filter(F.col("_b") == F.col("_cut"))
+    w = Window.partitionBy(group_col).orderBy("_h", key_col)
+    boundary_kept = (
+        boundary.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_need"))
+        .drop("_rn")
+    )
+    return below.unionByName(boundary_kept).select(*df.columns)
 
 
 def with_cumulative_offsets(

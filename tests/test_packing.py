@@ -219,3 +219,46 @@ def test_pack_exact_matches_pack_sequences_start_bin(spark):
         .groupBy("did").agg(F.min("bin_id").alias("mn")).collect()
     }
     assert first == {d: b for d, b in seq.items() if lens[d] > 0}
+
+
+def test_sample_stratified_exact_quota_matches_naive_window(spark):
+    """sample_stratified's bucket-histogram selection must equal the naive
+    per-group row_number() over (hash, key) reference — same rows, exactly
+    min(quota, n_g) per group — and be invariant to input partitioning."""
+    from simplir_spark.operators.packing import _key_hash, sample_stratified
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = 7
+    got = sample_stratified(docs, "lang", q, key_col="doc_id", seed=3)
+    got_rows = sorted((r["lang"], r["doc_id"]) for r in got.collect())
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(_key_hash("doc_id", 3), "doc_id")
+    want = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= q)
+    )
+    want_rows = sorted((r["lang"], r["doc_id"]) for r in want.collect())
+    assert got_rows == want_rows
+
+    sizes = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    per_group = {}
+    for lang, _ in got_rows:
+        per_group[lang] = per_group.get(lang, 0) + 1
+    assert per_group == {g: min(q, n) for g, n in sizes.items()}
+
+    reparted = sample_stratified(docs.repartition(13), "lang", q, key_col="doc_id", seed=3)
+    assert sorted((r["lang"], r["doc_id"]) for r in reparted.collect()) == got_rows
+
+
+def test_sample_stratified_dict_quotas_and_quota_exceeding_group(spark):
+    """Dict quotas: per-group counts honored, absent groups dropped,
+    quota > n_g keeps the whole group (the no-sort fast path)."""
+    from simplir_spark.operators.packing import sample_stratified
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)] + [(100 + i, "c") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sample_stratified(df, "grp", {"a": 5, "c": 100}, key_col="doc_id", seed=1)
+    counts = {r["grp"]: r["c"] for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts == {"a": 5, "c": 4}  # b absent from dict -> dropped
