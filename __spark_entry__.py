@@ -1411,19 +1411,28 @@ def oracle_sql() -> dict[str, str]:
 
     # the kmeans variant's centroids come from the SAME deterministic fit
     # the engine runs (sample rule + fixed-order numpy Lloyd's), computed
-    # here directly from the parquet (no Spark) and embedded as literals —
-    # the driver's oracle always runs at sf0.01, matching this path
+    # here directly from the parquet (no Spark) and embedded as literals.
+    # The driver's oracle runs at sf0.01; SPARK_GRAFT_ORACLE_SF_DIR
+    # overrides for other checkouts.  If the fixture is absent this entry
+    # alone degrades to the rows-only check instead of poisoning the
+    # whole oracle dict with a FileNotFoundError at construction time.
     from simplir_spark.operators.similarity import (
         ivf_kmeans_centroids_from_parquet,
     )
 
-    _km_cents = ivf_kmeans_centroids_from_parquet(
-        "/root/testdata/sf0.01/embeddings.parquet",
-        n_lists=16,
-        n_iter=5,
-        sample_size=256,
+    _oracle_sf = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    _km_rows = ",\n      ".join(
+    try:
+        _km_cents = ivf_kmeans_centroids_from_parquet(
+            f"{_oracle_sf}/embeddings.parquet",
+            n_lists=16,
+            n_iter=5,
+            sample_size=256,
+        )
+    except (FileNotFoundError, OSError):
+        _km_cents = None
+    _km_rows = None if _km_cents is None else ",\n      ".join(
         "({}, [{}], CAST('{!r}' AS DOUBLE))".format(
             cid,
             ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec),
@@ -1431,7 +1440,8 @@ def oracle_sql() -> dict[str, str]:
         )
         for cid, vec, nrm in _km_cents
     )
-    sql["ann_ivf_topk"] = f"""
+    if _km_rows is not None:
+      sql["ann_ivf_topk"] = f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
     nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
     cent AS (
@@ -2105,9 +2115,13 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY q.query_id, tf.doc_id
       HAVING count(*) = max((SELECT n_q FROM nq WHERE nq.query_id = q.query_id))
     )
-    SELECT r.query_id AS qid, round(1.0 / min(r.rank), 6) AS rr
-    FROM run r JOIN qrel qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
-    GROUP BY r.query_id
+    SELECT ru.qid, round(coalesce(1.0 / m.first_rel, 0.0), 6) AS rr
+    FROM (SELECT DISTINCT query_id AS qid FROM run) ru
+    LEFT JOIN (
+      SELECT r.query_id, min(r.rank) AS first_rel
+      FROM run r JOIN qrel qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+      GROUP BY r.query_id
+    ) m ON m.query_id = ru.qid
     """
 
     # nDCG@k, binary relevance on this fixture: DCG = sum 1/log2(rank+1)

@@ -110,6 +110,12 @@ def resample_linear(clip: AudioClip, target_rate: int) -> AudioClip:
     analog of imagecodec.resize_nearest; deterministic and dependency-free."""
     if target_rate == clip.sample_rate:
         return clip
+    if clip.n_frames == 0:
+        # a structurally valid WAV with an empty data chunk: np.interp
+        # would raise on an empty sample-point array, and there is
+        # nothing to resample — pass the emptiness through at the rate
+        # the caller asked for
+        return AudioClip(clip.samples.copy(), target_rate)
     n_out = max(1, int(round(clip.n_frames * target_rate / clip.sample_rate)))
     src_t = np.arange(clip.n_frames, dtype=np.float64)
     dst_t = np.linspace(0.0, max(0, clip.n_frames - 1), n_out)
@@ -127,9 +133,11 @@ def try_decode_audio(payload: bytes) -> AudioClip | None:
     b = bytes(payload)
     if not is_wav(b):
         return None
+    from simplir_spark.functions.imagecodec import DECODE_ERRORS
+
     try:
         return wav_decode(b)
-    except ValueError:
+    except DECODE_ERRORS:
         return None
 
 

@@ -159,10 +159,12 @@ def avi_encode_mjpeg(
 def try_decode_video(payload: bytes) -> VideoClip | None:
     """Real decode when possible: MJPEG AVI natively; None otherwise."""
     b = bytes(payload)
+    from simplir_spark.functions.imagecodec import DECODE_ERRORS
+
     if is_avi(b):
         try:
             return avi_decode_mjpeg(b)
-        except ValueError:
+        except DECODE_ERRORS:
             return None
     return None
 

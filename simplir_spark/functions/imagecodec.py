@@ -17,8 +17,25 @@ here is the vectorized inner loop.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
+
+# Malformed/truncated media raises more than ValueError from the pure-
+# python codecs: struct.error (short headers), KeyError (e.g. a baseline
+# JPEG whose second SOS references components the first scan didn't map),
+# zlib.error (corrupt PNG IDAT), IndexError/EOFError (truncated streams).
+# Every try_decode_* wrapper catches this tuple so one bad payload
+# degrades to None (documented contract) instead of killing the Spark job.
+DECODE_ERRORS = (
+    ValueError,
+    KeyError,
+    IndexError,
+    EOFError,
+    OverflowError,
+    struct.error,
+    zlib.error,
+)
 
 BMP_MAGIC = b"BM"
 
@@ -245,19 +262,19 @@ def try_decode_image(payload: bytes) -> np.ndarray | None:
     if is_bmp(b):
         try:
             return bmp_decode(b)
-        except ValueError:
+        except DECODE_ERRORS:
             return None
     if is_png(b):
         try:
             return png_decode(b)
-        except ValueError:
+        except DECODE_ERRORS:
             return None
     from simplir_spark.functions.jpegcodec import decode_jpeg, is_jpeg
 
     if is_jpeg(b):
         try:
             return decode_jpeg(b)
-        except ValueError:
+        except DECODE_ERRORS:
             return None
     try:  # optional dependency — absent in this container
         import io

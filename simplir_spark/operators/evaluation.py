@@ -53,11 +53,21 @@ def precision_at_k(run: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
 
 
 def reciprocal_rank(run: DataFrame, qrels: DataFrame) -> DataFrame:
-    """Per-query RR = 1/rank of first relevant result (0 if none)."""
+    """Per-query RR = 1/rank of first relevant result, 0 when no relevant
+    document was retrieved — trec_eval's recip_rank reports those topics
+    as 0 rather than dropping them, and downstream per-query folds
+    (rank_metrics) must not lose the query row."""
     rel = qrels.filter(F.col("relevance") > 0).select("qid", "doc", F.lit(1).alias("_rel"))
-    joined = run.join(rel, ["qid", "doc"], "inner")
-    first = joined.groupBy("qid").agg(F.min("rank").alias("first_rel"))
-    return first.withColumn("rr", F.lit(1.0) / F.col("first_rel")).select("qid", "rr")
+    first = (
+        run.join(rel, ["qid", "doc"], "inner")
+        .groupBy("qid")
+        .agg(F.min("rank").alias("first_rel"))
+    )
+    qids = run.select("qid").distinct()
+    return qids.join(first, "qid", "left").select(
+        "qid",
+        F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)).alias("rr"),
+    )
 
 
 def ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int) -> DataFrame:

@@ -71,12 +71,28 @@ class FeatureSpace:
         return FeatureSpace([fn(n) for n in self.names])
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class FeatureVec:
-    """A dense vector pinned to its space (FeatureVec, FeatureSpace.hs:182)."""
+    """A dense vector pinned to its space (FeatureVec, FeatureSpace.hs:182).
+
+    eq=False: the dataclass-generated __eq__/__hash__ would compare the
+    ndarray field inside a tuple (ValueError: ambiguous truth value) and
+    hash an unhashable array — equality is elementwise like the Eq
+    instance on the reference's unboxed vectors.
+    """
 
     space: FeatureSpace
     values: np.ndarray
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, FeatureVec)
+            and self.space == other.space
+            and np.array_equal(self.values, other.values, equal_nan=True)
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.space, self.values.tobytes()))
 
     @staticmethod
     def from_list(space: FeatureSpace, pairs) -> "FeatureVec":

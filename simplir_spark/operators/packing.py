@@ -159,12 +159,27 @@ def sample_stratified(
     spark = df.sparkSession
     if not cut_rows:
         return df.filter(F.lit(False))
+    # Join on the NATIVE group type, not str(g) vs cast("string"): Python
+    # str() and Spark's cast disagree for booleans ("True" vs "true") and
+    # a NULL group would never equal any string — either silently drops
+    # whole strata.  The collected values round-trip exactly through
+    # createDataFrame with the source column's own DataType; eqNullSafe
+    # lets an explicit null stratum match its quota row.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    g_type = df.schema[group_col].dataType
     cuts = spark.createDataFrame(
-        [(str(g), int(cb), int(nd)) for g, cb, nd in cut_rows],
-        "_g string, _cut long, _need long",
+        [(g, int(cb), int(nd)) for g, cb, nd in cut_rows],
+        StructType(
+            [
+                StructField("_g", g_type),
+                StructField("_cut", LongType()),
+                StructField("_need", LongType()),
+            ]
+        ),
     )
     joined = hdf.join(
-        F.broadcast(cuts), hdf[group_col].cast("string") == cuts["_g"], "inner"
+        F.broadcast(cuts), hdf[group_col].eqNullSafe(cuts["_g"]), "inner"
     )
     below = joined.filter(F.col("_b") < F.col("_cut"))
     boundary = joined.filter(F.col("_b") == F.col("_cut"))

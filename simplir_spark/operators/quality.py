@@ -25,6 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from simplir_spark.cacheutil import CacheRegistry
+
+_bloom_caches = CacheRegistry(retain=2)
+
 
 def _bigrams(tokenized: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, w1, w2) rows — consecutive term pairs, order-preserving."""
@@ -136,6 +140,10 @@ def build_bloom_bitset(
     """
     m_bits, k = bloom_parameters(n_items, fpp)
     pos = F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("pos")
+    # Arrow collect (toPandas), not .collect(): at the 10^8-item scale
+    # this method documents, ~15M pyspark Row objects would cost GBs of
+    # driver heap and a 15M-iteration Python loop; two numpy columns and
+    # a vectorized scatter keep the driver at the advertised ~120 MB.
     words = (
         values.select(pos)
         .select(
@@ -144,11 +152,13 @@ def build_bloom_bitset(
         )
         .groupBy("w")
         .agg(F.bit_or("m").alias("word"))
-        .collect()
+        .toPandas()
     )
     bits = np.zeros(m_bits // 64, dtype=np.uint64)
-    for r in words:
-        bits[int(r["w"])] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+    if len(words):
+        w = words["w"].to_numpy(dtype=np.int64)
+        word = words["word"].to_numpy(dtype=np.int64).view(np.uint64)
+        bits[w] = word
     return bits, m_bits, k
 
 
@@ -208,6 +218,13 @@ def decontaminate(
     """
     bench = benchmark_shingles.select("shingle").distinct()
     if method == "bloom":
+        # the distinct benchmark projection feeds three consumers (count,
+        # bitset build, exact confirm join) — persist it once instead of
+        # recomputing the full pass over the side that is by definition
+        # too large to broadcast; lifecycle via the bounded registry (the
+        # confirm join is still lazy when this function returns)
+        bench = bench.persist()
+        _bloom_caches.register(bench)
         n_bench = bench.count()
         bits, m_bits, k = build_bloom_bitset(bench, "shingle", n_bench, bloom_fpp)
         candidates = bloom_prefilter(shingles, "shingle", bits, m_bits, k)

@@ -216,6 +216,11 @@ def _ivf_assign_udf(base: DataFrame, query_filter, cents, n_probe, id_col):
     the expr path by one ulp (BLAS vs sequential fold summation order) —
     both are valid IVF assignments; the operator is approximate-by-design
     and each path is individually deterministic."""
+    # argmax/stable argsort break exact ties by POSITION, so the centroid
+    # array must be in ascending-cid order for "first position" to mean
+    # "min cid" like the expr path's (cos DESC, cid ASC) — ivf_topk's
+    # md5-sampled centroids arrive in sample order, not cid order
+    cents = sorted(cents, key=lambda c: c[0])
     C = np.asarray([vec for _, vec, _ in cents], dtype=np.float64)
     cn = np.asarray([nrm for _, _, nrm in cents], dtype=np.float64)
     cn[cn == 0] = 1.0

@@ -267,11 +267,10 @@ def test_trec_eval_differential_hypothesis(spark, tmp_path):
         for qid in want_p:
             assert got_p[qid] == pytest.approx(want_p[qid], rel=1e-2, abs=1e-9), qid
 
-        # engine RR omits queries with no relevant retrieved (trec_eval
-        # prints 0): compare emitted values, and require the omitted set
-        # to be exactly the rr==0 set
+        # engine RR covers every run query, reporting 0 for queries with
+        # no relevant retrieved — exactly trec_eval's recip_rank surface
         got_rr = {r["qid"]: r["rr"] for r in reciprocal_rank(run, qrels).collect()}
-        assert {q for q, v in want_rr.items() if v > 0} == set(got_rr)
+        assert set(want_rr) == set(got_rr)
         for qid in got_rr:
             assert got_rr[qid] == pytest.approx(want_rr[qid], rel=1e-2, abs=1e-9), qid
 

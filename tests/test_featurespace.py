@@ -92,3 +92,22 @@ def test_project_feature_column_spark(spark):
     ]
     assert got == want
     assert "pythonUDF" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_feature_vec_eq_and_hash():
+    # regression: the dataclass-generated __eq__/__hash__ raised on the
+    # ndarray field for any space with more than one feature
+    import numpy as np
+
+    from simplir_spark.operators.featurespace import FeatureSpace, FeatureVec
+
+    sp = FeatureSpace(["a", "b", "c"])
+    v1 = FeatureVec.from_list(sp, [("a", 1.0), ("b", 2.0), ("c", 3.0)])
+    v2 = FeatureVec.from_list(sp, [("a", 1.0), ("b", 2.0), ("c", 3.0)])
+    v3 = FeatureVec.from_list(sp, [("a", 1.0), ("b", 2.0), ("c", 4.0)])
+    assert v1 == v2 and v1 != v3
+    assert hash(v1) == hash(v2)
+    assert len({v1, v2, v3}) == 2
+    nan1 = FeatureVec(sp, np.array([1.0, np.nan, 3.0]))
+    nan2 = FeatureVec(sp, np.array([1.0, np.nan, 3.0]))
+    assert nan1 == nan2  # elementwise with equal_nan, like a bitwise Eq

@@ -262,3 +262,25 @@ def test_sample_stratified_dict_quotas_and_quota_exceeding_group(spark):
     out = sample_stratified(df, "grp", {"a": 5, "c": 100}, key_col="doc_id", seed=1)
     counts = {r["grp"]: r["c"] for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("c")).collect()}
     assert counts == {"a": 5, "c": 4}  # b absent from dict -> dropped
+
+
+def test_sample_stratified_boolean_and_null_groups(spark):
+    # regression: the quota join used to compare str(g) ("True"/"None")
+    # against Spark's cast-to-string ("true"/NULL), silently dropping
+    # boolean strata entirely and never matching a NULL stratum
+    from simplir_spark.operators.packing import sample_stratified
+
+    rows = [(i, i % 3 == 0) for i in range(60)] + [(1000 + i, None) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, is_en boolean")
+    out = sample_stratified(df, "is_en", 5, key_col="doc_id").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["is_en"], []).append(r["doc_id"])
+    assert sorted(len(v) for v in by_g.values()) == [5, 5, 5]
+    assert set(by_g) == {True, False, None}
+    # dict quotas keyed by the native values must hit the same strata
+    out2 = sample_stratified(df, "is_en", {True: 3, None: 2}, key_col="doc_id").collect()
+    by_g2 = {}
+    for r in out2:
+        by_g2.setdefault(r["is_en"], []).append(r["doc_id"])
+    assert {g: len(v) for g, v in by_g2.items()} == {True: 3, None: 2}

@@ -727,3 +727,69 @@ def test_load_images_decoded_jvm_source(spark):
     assert rows["tiny.bmp"].height > 0
     assert (rows["tiny.jpg"].height, rows["tiny.jpg"].width) == (24, 32)
     assert (rows["tiny.png"].height, rows["tiny.png"].width) == (7, 5)
+
+
+def test_try_decode_malformed_payloads_return_none():
+    # regression: malformed media used to raise KeyError/struct.error/
+    # zlib.error straight through the try_decode_* wrappers (which caught
+    # only ValueError), killing the whole mapInPandas batch
+    import struct
+    import zlib
+
+    from simplir_spark.functions.audiocodec import try_decode_audio, wav_encode
+    from simplir_spark.functions.avicodec import try_decode_video
+    from simplir_spark.functions.imagecodec import (
+        bmp_encode,
+        png_encode,
+        try_decode_image,
+    )
+    from simplir_spark.functions.jpegcodec import encode_jpeg
+
+    import numpy as np
+
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = {
+        "bmp": bmp_encode(rgb),
+        "png": png_encode(rgb),
+        "jpg": encode_jpeg(rgb),
+    }
+    for kind, payload in good.items():
+        assert try_decode_image(payload) is not None, kind
+        # truncate at several points inside the structure: early cuts must
+        # degrade to None; ANY cut must never raise (a tail cut may still
+        # decode — e.g. a PNG losing only its IEND CRC)
+        for cut in (8, 16, len(payload) // 2):
+            assert try_decode_image(payload[:cut]) is None, (kind, cut)
+        try_decode_image(payload[: len(payload) - 3])
+    # PNG with corrupt IDAT bytes -> zlib.error internally
+    png = bytearray(good["png"])
+    png[41] ^= 0xFF
+    assert try_decode_image(bytes(png)) is None
+    # WAV: truncated header -> struct.error internally
+    from simplir_spark.functions.audiocodec import AudioClip
+
+    clip = AudioClip(np.zeros((32, 1)), 8000)
+    wav = wav_encode(clip)
+    assert try_decode_audio(wav) is not None
+    for cut in (6, 14, 20):
+        assert try_decode_audio(wav[:cut]) is None, cut
+    try_decode_audio(wav[: len(wav) - 1])  # tail cut: may decode, must not raise
+    # AVI: truncated RIFF walk
+    from simplir_spark.functions.avicodec import avi_encode_mjpeg
+
+    avi = avi_encode_mjpeg([good["jpg"], good["jpg"]], fps=5, width=4, height=4)
+    assert try_decode_video(avi) is not None
+    for cut in (13, 40):
+        assert try_decode_video(avi[:cut]) is None, cut
+    # mid-cut: the RIFF walk may salvage complete leading frames, must not raise
+    try_decode_video(avi[: len(avi) // 2])
+
+
+def test_resample_empty_clip_passes_through():
+    import numpy as np
+
+    from simplir_spark.functions.audiocodec import AudioClip, resample_linear
+
+    clip = AudioClip(np.zeros((0, 2)), 44100)
+    out = resample_linear(clip, 16000)
+    assert out.sample_rate == 16000 and out.n_frames == 0 and out.n_channels == 2
