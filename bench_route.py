@@ -86,7 +86,7 @@ def main() -> dict:
     for n_cuts, with_literal in cases:
         cuts = cuts_for(n_cuts)
         t0 = time.time()
-        xk = ib.probe_shuffle_keys(spark, n_cuts + 1, n_cuts + 1)
+        xk = ib.probe_shuffle_keys(n_cuts + 1, n_cuts + 1)
         probe_s = round(time.time() - t0, 3)
         assert len(xk) == n_cuts + 1
         case: dict = {"probe_xkeys_sec": probe_s, "literal": [], "udf": []}

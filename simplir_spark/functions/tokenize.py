@@ -257,7 +257,11 @@ def tokenize_tf_from_raw(raw: pd.Series, has_nul: bool | None = None) -> pd.Data
     Python-split or ``jvm_raw_tokens_expr`` output — '' tokens are
     dropped, restoring Python split() semantics)."""
     n_docs = len(raw)
-    lens = np.fromiter((len(t) for t in raw), dtype=np.int64, count=n_docs)
+    # null docs arrive as None from jvm_raw_tokens_expr (split(NULL) is
+    # NULL) — they contribute nothing, like the Arrow kernels' fill_null
+    lens = np.fromiter(
+        (0 if t is None else len(t) for t in raw), dtype=np.int64, count=n_docs
+    )
     total = int(lens.sum())
     if total == 0:
         return pd.DataFrame(
@@ -270,7 +274,11 @@ def tokenize_tf_from_raw(raw: pd.Series, has_nul: bool | None = None) -> pd.Data
         )
     from itertools import chain
 
-    all_toks = np.fromiter(chain.from_iterable(raw), dtype=object, count=total)
+    all_toks = np.fromiter(
+        chain.from_iterable(t for t in raw if t is not None),
+        dtype=object,
+        count=total,
+    )
     doc_ix = np.repeat(np.arange(n_docs), lens)
     nonempty = all_toks != ""
     if not nonempty.all():

@@ -341,7 +341,7 @@ def _murmur3_int32_np(xs: "np.ndarray", seed: int = 42) -> "np.ndarray":
     return h.astype(np.int32).astype(np.int64)
 
 
-def probe_shuffle_keys(spark: SparkSession, n_buckets: int, n_partitions: int) -> list[int]:
+def probe_shuffle_keys(n_buckets: int, n_partitions: int) -> list[int]:
     """For each bucket b find an int x_b with pmod(murmur3(x_b), P) == b.
 
     ``repartition(P, col)`` places a row in partition
@@ -425,11 +425,21 @@ def with_bucket_and_xb(
 
     sc = df.sparkSession.sparkContext
     bc_cuts = sc.broadcast(_np_cuts(cuts))
-    xk_np = (
-        np.zeros(len(cuts) + 1, dtype=np.int64)
-        if xkeys is None
-        else np.asarray(xkeys, dtype=np.int64)
-    )
+
+    if xkeys is None:
+        # bucket-only route (slim aggregation passes over the full
+        # corpus): no xkeys broadcast, no per-row xb gather, and the
+        # output schema matches the literal route's bucket-only shape
+        @F.pandas_udf("long")
+        def _route_b(keys: pd.Series) -> pd.Series:
+            c = bc_cuts.value
+            k = keys.to_numpy()
+            k = k.astype("U") if c.dtype.kind == "U" else k.astype(c.dtype, copy=False)
+            return pd.Series(np.searchsorted(c, k, side="right"))
+
+        return df.withColumn(bucket_col, _route_b(F.col(key_col)))
+
+    xk_np = np.asarray(xkeys, dtype=np.int64)
     assert len(xk_np) == len(cuts) + 1
     bc_xk = sc.broadcast(xk_np)
 
@@ -980,136 +990,31 @@ def _posting_run_batches(val_parts, tf_parts, did_parts, dl_parts, run_size):
     dids = np.concatenate(did_parts)
     dls = np.concatenate(dl_parts)
     tfs = np.concatenate(tf_parts)
-    n = len(codes)
 
     if bool(np.all(dids[1:] >= dids[:-1])):
         order = np.argsort(codes, kind="stable")
     else:
         order = np.lexsort((dids, codes))
-    codes_p = codes[order]
-    dids_p = dids[order]
-    tfs_p = tfs[order]
-    dls_p = dls[order]
-
-    change = np.nonzero(codes_p[1:] != codes_p[:-1])[0] + 1
-    g_start = np.concatenate(([0], change))
-    g_end = np.concatenate((change, [n]))
-    runs_per_group = -(-(g_end - g_start) // run_size)
-    total_runs = int(runs_per_group.sum())
-    gidx = np.repeat(np.arange(len(g_start)), runs_per_group)
-    first_run_of_group = np.concatenate(([0], np.cumsum(runs_per_group)))[:-1]
-    within = np.arange(total_runs) - first_run_of_group[gidx]
-    run_starts = g_start[gidx] + within * run_size
-    run_ends = np.minimum(run_starts + run_size, g_end[gidx])
-
-    deltas = np.empty(n, dtype=np.int64)
-    deltas[1:] = dids_p[1:] - dids_p[:-1]
-    deltas[run_starts] = 0
-
-    d_stream, d_lens = codec.encode_varints_with_lens(deltas)
-    t_stream, t_lens = codec.encode_varints_with_lens(tfs_p)
-    l_stream, l_lens = codec.encode_varints_with_lens(dls_p)
-    d_off = np.concatenate(([0], np.cumsum(d_lens)))
-    t_off = np.concatenate(([0], np.cumsum(t_lens)))
-    l_off = np.concatenate(([0], np.cumsum(l_lens)))
-
-    run_n = (run_ends - run_starts).astype(np.int32)
-    max_tf = np.maximum.reduceat(tfs_p, run_starts)
-    sum_tf = np.add.reduceat(tfs_p, run_starts)
-    start_did = dids_p[run_starts]
-    end_did = dids_p[run_ends - 1]
-    run_codes = codes_p[run_starts]
-
-    def binary_col(stream, off, i0, i1):
-        bounds = np.concatenate((run_starts[i0:i1], [run_ends[i1 - 1]]))
-        byte_bounds = off[bounds]
-        base = byte_bounds[0]
-        offs32 = (byte_bounds - base).astype(np.int32)
-        data = stream[base : byte_bounds[-1]]
-        return pa.BinaryArray.from_buffers(
-            pa.binary(), i1 - i0, [None, pa.py_buffer(offs32), pa.py_buffer(data)]
-        )
-
-    i0 = 0
-    while i0 < total_runs:
-        i1 = min(i0 + _ARROW_CHUNK_RUNS, total_runs)
-        for off in (d_off, t_off, l_off):
-            while i1 > i0 + 1 and off[run_ends[i1 - 1]] - off[run_starts[i0]] > _ARROW_CHUNK_BYTES:
-                i1 = i0 + max(1, (i1 - i0) // 2)
-        yield (
-            pc.take(dictionary, pa.array(run_codes[i0:i1])).cast(pa.string()),
-            pa.array(start_did[i0:i1], pa.int64()),
-            pa.array(end_did[i0:i1], pa.int64()),
-            pa.array(run_n[i0:i1], pa.int32()),
-            pa.array(max_tf[i0:i1], pa.int64()),
-            pa.array(sum_tf[i0:i1], pa.int64()),
-            binary_col(d_stream, d_off, i0, i1),
-            binary_col(t_stream, t_off, i0, i1),
-            binary_col(l_stream, l_off, i0, i1),
-            pa.nulls(i1 - i0, pa.binary()),
-        )
-        i0 = i1
+    yield from _encode_posting_runs(
+        dictionary, codes[order], dids[order], tfs[order], dls[order], run_size
+    )
 
 
-def _occurrence_run_batches(val_parts, pos_parts, did_parts, dl_parts, run_size):
-    """Positional back-half: accumulated OCCURRENCE-level arrays -> run
-    column tuples (the 10 POSTINGS_SCHEMA columns, pos blobs real),
-    chunked.  The positional twin of :func:`_posting_run_batches`:
-    occurrences group into postings at (term, did) change after the
-    sort, tf = group size, and the per-occurrence position deltas
-    (first-of-posting absolute, ``codec.encode_positions`` format) are
-    one more whole-partition varint stream whose per-run slices tile
-    like the others.
+def _encode_posting_runs(dictionary, codes_p, dids_p, tfs_p, dls_p, run_size, pos=None):
+    """Shared run-encoder tail: POSTING-level arrays (term dictionary
+    codes, dids, tfs, dls — term-grouped, did-sorted within term) ->
+    chunked POSTINGS_SCHEMA column tuples.
 
-    ``val_parts``: large_string Arrow arrays of per-OCCURRENCE terms;
-    ``pos_parts``/``did_parts``/``dl_parts``: int64 numpy arrays,
-    aligned per occurrence (raw token position, did, doc_len).
+    ``pos``: optional (byte stream, per-posting byte offsets) pair for
+    the position blobs of a positional build; None yields null pos blobs.
+    Single implementation for both build flavors so the run tiling,
+    varint streams, int32-offset chunk cap, and reduceat stats cannot
+    drift apart.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    dict_enc = pc.dictionary_encode(pa.concat_arrays(val_parts))
-    codes = np.asarray(dict_enc.indices)
-    dictionary = dict_enc.dictionary
-    dids = np.concatenate(did_parts)
-    dls = np.concatenate(dl_parts)
-    aux = np.concatenate(pos_parts)
-    n = len(codes)
-
-    if bool(np.all(dids[1:] >= dids[:-1])):
-        # occurrences arrive did-sorted and position-sorted within doc ->
-        # stable argsort keeps within-term (did, pos) order
-        order = np.argsort(codes, kind="stable")
-    else:
-        order = np.lexsort((aux, dids, codes))
-    codes_s = codes[order]
-    dids_s = dids[order]
-    aux_s = aux[order]
-    dls_s = dls[order]
-    del codes, dids, aux, dls, order
-
-    # occurrences -> postings: boundary at (term, did) change
-    pchange = (
-        np.nonzero((codes_s[1:] != codes_s[:-1]) | (dids_s[1:] != dids_s[:-1]))[0] + 1
-    )
-    p_start = np.concatenate(([0], pchange))
-    n_post = len(p_start)
-    tfs_p = np.diff(np.concatenate((p_start, [n])))
-    codes_p = codes_s[p_start]
-    dids_p = dids_s[p_start]
-    dls_p = dls_s[p_start]
-    # per-occurrence position deltas, first-of-posting absolute
-    # (np.diff(p, prepend=0) semantics of codec.encode_positions)
-    pos_deltas = np.empty(n, dtype=np.int64)
-    pos_deltas[1:] = aux_s[1:] - aux_s[:-1]
-    pos_deltas[p_start] = aux_s[p_start]
-    p_stream, p_lens = codec.encode_varints_with_lens(pos_deltas)
-    occ_cum = np.concatenate(([0], np.cumsum(p_lens)))
-    # byte offset of each POSTING's position block (postings tile the
-    # occurrence stream, so run slices tile the byte stream)
-    p_off = occ_cum[np.concatenate((p_start, [n]))]
-    del codes_s, dids_s, aux_s, dls_s
-
+    n_post = len(codes_p)
     change = np.nonzero(codes_p[1:] != codes_p[:-1])[0] + 1
     g_start = np.concatenate(([0], change))
     g_end = np.concatenate((change, [n_post]))
@@ -1149,10 +1054,11 @@ def _occurrence_run_batches(val_parts, pos_parts, did_parts, dl_parts, run_size)
             pa.binary(), i1 - i0, [None, pa.py_buffer(offs32), pa.py_buffer(data)]
         )
 
+    offs_for_cap = (d_off, t_off, l_off) if pos is None else (d_off, t_off, l_off, pos[1])
     i0 = 0
     while i0 < total_runs:
         i1 = min(i0 + _ARROW_CHUNK_RUNS, total_runs)
-        for off in (d_off, t_off, l_off, p_off):
+        for off in offs_for_cap:
             while i1 > i0 + 1 and off[run_ends[i1 - 1]] - off[run_starts[i0]] > _ARROW_CHUNK_BYTES:
                 i1 = i0 + max(1, (i1 - i0) // 2)
         yield (
@@ -1165,9 +1071,73 @@ def _occurrence_run_batches(val_parts, pos_parts, did_parts, dl_parts, run_size)
             binary_col(d_stream, d_off, i0, i1),
             binary_col(t_stream, t_off, i0, i1),
             binary_col(l_stream, l_off, i0, i1),
-            binary_col(p_stream, p_off, i0, i1),
+            pa.nulls(i1 - i0, pa.binary()) if pos is None
+            else binary_col(pos[0], pos[1], i0, i1),
         )
         i0 = i1
+
+
+def _occurrence_run_batches(val_parts, pos_parts, did_parts, dl_parts, run_size):
+    """Positional back-half: accumulated OCCURRENCE-level arrays -> run
+    column tuples (the 10 POSTINGS_SCHEMA columns, pos blobs real),
+    chunked.  The positional twin of :func:`_posting_run_batches`:
+    occurrences group into postings at (term, did) change after the
+    sort, tf = group size, and the per-occurrence position deltas
+    (first-of-posting absolute, ``codec.encode_positions`` format) are
+    one more whole-partition varint stream whose per-run slices tile
+    like the others — handed to the shared tail as its ``pos`` pair.
+
+    ``val_parts``: large_string Arrow arrays of per-OCCURRENCE terms;
+    ``pos_parts``/``did_parts``/``dl_parts``: int64 numpy arrays,
+    aligned per occurrence (raw token position, did, doc_len).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    dict_enc = pc.dictionary_encode(pa.concat_arrays(val_parts))
+    codes = np.asarray(dict_enc.indices)
+    dictionary = dict_enc.dictionary
+    dids = np.concatenate(did_parts)
+    dls = np.concatenate(dl_parts)
+    aux = np.concatenate(pos_parts)
+    n = len(codes)
+
+    if bool(np.all(dids[1:] >= dids[:-1])):
+        # occurrences arrive did-sorted and position-sorted within doc ->
+        # stable argsort keeps within-term (did, pos) order
+        order = np.argsort(codes, kind="stable")
+    else:
+        order = np.lexsort((aux, dids, codes))
+    codes_s = codes[order]
+    dids_s = dids[order]
+    aux_s = aux[order]
+    dls_s = dls[order]
+    del codes, dids, aux, dls, order
+
+    # occurrences -> postings: boundary at (term, did) change
+    pchange = (
+        np.nonzero((codes_s[1:] != codes_s[:-1]) | (dids_s[1:] != dids_s[:-1]))[0] + 1
+    )
+    p_start = np.concatenate(([0], pchange))
+    tfs_p = np.diff(np.concatenate((p_start, [n])))
+    codes_p = codes_s[p_start]
+    dids_p = dids_s[p_start]
+    dls_p = dls_s[p_start]
+    # per-occurrence position deltas, first-of-posting absolute
+    # (np.diff(p, prepend=0) semantics of codec.encode_positions)
+    pos_deltas = np.empty(n, dtype=np.int64)
+    pos_deltas[1:] = aux_s[1:] - aux_s[:-1]
+    pos_deltas[p_start] = aux_s[p_start]
+    p_stream, p_lens = codec.encode_varints_with_lens(pos_deltas)
+    occ_cum = np.concatenate(([0], np.cumsum(p_lens)))
+    # byte offset of each POSTING's position block (postings tile the
+    # occurrence stream, so run slices tile the byte stream)
+    p_off = occ_cum[np.concatenate((p_start, [n]))]
+    del codes_s, dids_s, aux_s, dls_s
+
+    yield from _encode_posting_runs(
+        dictionary, codes_p, dids_p, tfs_p, dls_p, run_size, pos=(p_stream, p_off)
+    )
 
 
 def make_partition_run_encoder_arrow(run_size: int, with_positions: bool = False):
@@ -1355,7 +1325,7 @@ def _build_index_fused(
         with open(os.path.join(out_dir, "_bucket_cuts.json"), "w") as f:
             json.dump(cuts, f)
         n_buckets = len(cuts) + 1
-        xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
+        xkeys = probe_shuffle_keys(n_buckets, n_buckets)
         carry = ["doc_key"] + [
             c for c in ("repo", "path", "commit", "lang") if c in src.columns
         ] + ["sha256"]
@@ -1423,7 +1393,7 @@ def _build_index_fused(
             if not cuts:
                 return runs.coalesce(1)
             n_buckets = len(cuts) + 1
-            xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
+            xkeys = probe_shuffle_keys(n_buckets, n_buckets)
             return (
                 with_term_did_bucket_and_xb(runs, cuts, xkeys, did_col="start_did")
                 .repartition(n_buckets, "_xb")
@@ -1530,7 +1500,7 @@ def build_index(
         n_buckets = len(cuts) + 1
         # probe modulus MUST equal the repartition partition count, else
         # buckets scatter (collision skew)
-        xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
+        xkeys = probe_shuffle_keys(n_buckets, n_buckets)
         carry = ["doc_key"] + [
             c for c in ("repo", "path", "commit", "lang") if c in src.columns
         ] + ["sha256"]
@@ -1610,7 +1580,7 @@ def build_index(
         if not cuts:
             return runs.coalesce(1)
         n_buckets = len(cuts) + 1
-        xkeys = probe_shuffle_keys(spark, n_buckets, n_buckets)
+        xkeys = probe_shuffle_keys(n_buckets, n_buckets)
         return (
             with_term_did_bucket_and_xb(runs, cuts, xkeys, did_col="start_did")
             .repartition(n_buckets, "_xb")

@@ -46,6 +46,7 @@ def merge_indexes(
         raise ValueError("no sources")
     level = 0
     current = list(sources)
+    levels = []
     while len(current) > fan_in:
         next_level = []
         for gi in range(0, len(current), fan_in):
@@ -53,8 +54,15 @@ def merge_indexes(
             dst = os.path.join(out_dir, f"_level{level}", f"g{gi // fan_in}")
             next_level.append(str(_merge_group(spark, group, dst).root))
         current = next_level
+        levels.append(os.path.join(out_dir, f"_level{level}"))
         level += 1
-    return _merge_group(spark, current, out_dir)
+    out = _merge_group(spark, current, out_dir)
+    # the _level trees are pure temporaries: once the final merge is
+    # written they only double the directory's footprint and look like
+    # sibling indexes to anything scanning out_dir
+    for lv in levels:
+        shutil.rmtree(lv, ignore_errors=True)
+    return out
 
 
 def _merge_group(spark: SparkSession, sources: list[str], out_dir: str) -> IndexPaths:
@@ -217,7 +225,16 @@ def compact_index(
     h = open_index(spark, src_dir)
     paths = IndexPaths(dst_dir)
     os.makedirs(dst_dir, exist_ok=True)
-    compact_postings(h.postings, run_size=run_size, min_run=min_run).write.mode(
+    # compact_postings requires (term, start_did)-sorted partitions; a
+    # plain parquet read does NOT guarantee that (FileSourceScanExec
+    # packs small files into read tasks by size, not term order — the
+    # same packing hazard index_build scopes openCostInBytes around).
+    # One range shuffle both restores the invariant and co-locates ALL
+    # of a term's short runs, so compaction is maximal, not per-file.
+    sorted_postings = h.postings.repartitionByRange(
+        "term", "start_did"
+    ).sortWithinPartitions("term", "start_did")
+    compact_postings(sorted_postings, run_size=run_size, min_run=min_run).write.mode(
         "overwrite"
     ).option("maxRecordsPerFile", 0).parquet(paths.postings)
     h.docmeta.write.mode("overwrite").parquet(os.path.join(dst_dir, "docmeta"))

@@ -40,9 +40,29 @@ from simplir_spark.operators.stats import doc_term_tfs, term_stats
 _scan_caches = CacheRegistry(retain=4)
 
 
+def merge_query_entries(
+    queries: list[tuple[str, list[str]]],
+) -> list[tuple[str, list[str]]]:
+    """Merge duplicate query_id entries by concatenating their term lists
+    (first-appearance order, qtf-preserving).  A repeated id would
+    otherwise emit duplicate (query_id, term) join rows and double-score
+    shared terms in every downstream scorer."""
+    merged: dict[str, list[str]] = {}
+    for qid, terms in queries:
+        merged.setdefault(qid, []).extend(terms)
+    return list(merged.items())
+
+
 def queries_df(spark: SparkSession, queries: list[tuple[str, list[str]]]) -> DataFrame:
-    """(query_id, term) rows, per-query deduped (SimpleIndex.hs:142)."""
-    rows = [(qid, t) for qid, terms in queries for t in sorted(set(terms))]
+    """(query_id, term) rows, deduped per query_id (SimpleIndex.hs:142).
+
+    Dedup is GLOBAL over the list, not per entry: a repeated query_id
+    merges into one term set.  Duplicate (query_id, term) rows would
+    double-join every matching posting run downstream and the dense
+    scoring accumulators would silently add the term's contribution
+    twice — set semantics here is a correctness invariant, not tidiness.
+    """
+    rows = sorted({(qid, t) for qid, terms in queries for t in terms})
     return spark.createDataFrame(rows, "query_id string, term string")
 
 
@@ -79,6 +99,7 @@ def bm25_scan(
     near-ties (float summation-order noise) rank deterministically across
     engines — used by the DuckDB-oracle driver contract.
     """
+    queries = merge_query_entries(queries)
     # ONE tokenizer pass: persist the aggregated (doc, term, tf) pairs —
     # far smaller than the tokenized corpus, disk-backed — and derive the
     # background stats FROM them (token_count = Σtf; doc_count is a

@@ -35,7 +35,7 @@ from simplir_spark.cacheutil import CacheRegistry
 from simplir_spark.functions import codec
 from simplir_spark.functions.scoring import B_DEFAULT, K1_DEFAULT
 from simplir_spark.operators.index_build import IndexHandle
-from simplir_spark.operators.query import queries_df
+from simplir_spark.operators.query import merge_query_entries, queries_df
 
 # theta-seeding auto-gate: measured crossover on local[16] lies between 4M
 # docs (seeding -7%) and 16M (first win, +2.5% BM25 / +11% QL) at 16
@@ -423,6 +423,7 @@ def ql_dirichlet_indexed(
     threshold pruning as BM25 — disabled automatically for queries with
     cf=0 terms, where -inf finals break the partial-score lower bound.
     """
+    queries = merge_query_entries(queries)
     if grouping not in ("query_shard", "shard"):
         raise ValueError(f"unknown grouping {grouping!r}")
     qdf = queries_df(spark, queries)
@@ -599,6 +600,11 @@ def ql_dirichlet_indexed(
 
 _live_topk_caches = CacheRegistry(retain=4)
 
+# max dids to embed as an In-literal for docmeta row-group pruning; above
+# this the literal's plan cost outweighs the pruning win (measured wall for
+# Catalyst literals in BENCH/bucket_udf_route.json informed the same cap)
+_RESOLVE_ISIN_MAX = 32768
+
 
 def _resolve_doc_keys(spark: SparkSession, index: IndexHandle, topk: DataFrame) -> DataFrame:
     """doc_key resolution for a (query_id, did, rank, score) top-k.
@@ -620,16 +626,32 @@ def _resolve_doc_keys(spark: SparkSession, index: IndexHandle, topk: DataFrame) 
     """
     topk = topk.persist()
     _live_topk_caches.register(topk)
-    dids = sorted(r["did"] for r in topk.select("did").distinct().collect())
-    if not dids:
+    # one bounded aggregate decides the pruning strategy — never collect
+    # an unbounded did list (10k queries x k=1000 would put 10^7 dids in
+    # an In-literal; Catalyst chokes well below that, the same plan-size
+    # wall the index build's bucket routing hit at ~32k literals)
+    stats = topk.agg(
+        F.min("did").alias("lo"),
+        F.max("did").alias("hi"),
+        F.count_distinct("did").alias("n"),
+    ).first()
+    if stats["n"] == 0:
         key_type = index.docmeta.schema["doc_key"].dataType.simpleString()
         return spark.createDataFrame(
             [], f"query_id string, doc_key {key_type}, rank int, score double"
         )
+    meta = index.docmeta.select("did", "doc_key")
+    if stats["n"] <= _RESOLVE_ISIN_MAX:
+        dids = sorted(r["did"] for r in topk.select("did").distinct().collect())
+        meta = meta.filter(F.col("did").isin(dids))
+    else:
+        # did-range filter keeps parquet min/max row-group pruning on the
+        # did-contiguous partitions; the broadcast join removes the rest
+        meta = meta.filter(
+            (F.col("did") >= stats["lo"]) & (F.col("did") <= stats["hi"])
+        )
     return (
-        index.docmeta.select("did", "doc_key")
-        .filter(F.col("did").isin(dids))
-        .join(F.broadcast(topk), "did")
+        meta.join(F.broadcast(topk), "did")
         .select("query_id", "doc_key", "rank", "score")
     )
 
@@ -642,7 +664,6 @@ def _bm25_indexed_shard_grouped(
     k: int,
     k1: float,
     b: float,
-    n_shards: int,
     span: int,
 ) -> DataFrame:
     """bm25_indexed's ``grouping="shard"`` body: one group per did-shard,
@@ -762,6 +783,7 @@ def bm25_indexed(
     theta0.  Cost: one shard per query is scored twice (~1/n_shards extra
     work) buying first-term pruning everywhere else.
     """
+    queries = merge_query_entries(queries)
     if grouping not in ("query_shard", "shard"):
         raise ValueError(f"unknown grouping {grouping!r}")
     qdf = queries_df(spark, queries)
@@ -781,7 +803,7 @@ def bm25_indexed(
 
     if grouping == "shard":
         return _bm25_indexed_shard_grouped(
-            spark, index, queries, post, k, k1, b, n_shards, span
+            spark, index, queries, post, k, k1, b, span
         )
     matched = (
         post.join(F.broadcast(qdf), "term")

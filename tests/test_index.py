@@ -227,7 +227,7 @@ def test_murmur3_matches_spark_hash(spark):
     for x in xs:
         assert murmur3_int32(x) == got[x], x
     # and the probed keys really land one bucket per partition
-    keys = probe_shuffle_keys(spark, 8, 8)
+    keys = probe_shuffle_keys(8, 8)
     kdf = spark.createDataFrame([(k,) for k in keys], "k int").repartition(8, "k")
     parts = kdf.select(F.spark_partition_id().alias("p"), "k").collect()
     placed = {r["k"]: r["p"] for r in parts}
@@ -1144,7 +1144,7 @@ def test_probe_shuffle_keys_matches_scalar_loop(spark):
                 found[p] = x
             x += 1
         want = [found[b] for b in range(n_buckets)]
-        assert probe_shuffle_keys(spark, n_buckets, n_parts) == want, (n_buckets, n_parts)
+        assert probe_shuffle_keys(n_buckets, n_parts) == want, (n_buckets, n_parts)
 
 
 def test_udf_bucket_routing_matches_jvm(spark, monkeypatch):
@@ -1162,7 +1162,7 @@ def test_udf_bucket_routing_matches_jvm(spark, monkeypatch):
     cuts_l = [6, 100]
     for keys, cuts in [(keys_s, cuts_s), (keys_l, cuts_l)]:
         df = spark.createDataFrame([(k,) for k in keys], ["doc_key"])
-        xkeys = ib.probe_shuffle_keys(spark, len(cuts) + 1, len(cuts) + 1)
+        xkeys = ib.probe_shuffle_keys(len(cuts) + 1, len(cuts) + 1)
         jvm = {
             r["doc_key"]: (r["_bucket"], r["_xb"])
             for r in ib.with_bucket_and_xb(df, "doc_key", cuts, xkeys).collect()
@@ -1180,7 +1180,7 @@ def test_udf_bucket_routing_matches_jvm(spark, monkeypatch):
             ("beta", 7), ("zeta", 1), ("aa", 5)]
     cuts_td = [("apple", 10), ("apple", 50), ("beta", 7)]
     df = spark.createDataFrame(rows, ["term", "start_did"])
-    xkeys = ib.probe_shuffle_keys(spark, len(cuts_td) + 1, len(cuts_td) + 1)
+    xkeys = ib.probe_shuffle_keys(len(cuts_td) + 1, len(cuts_td) + 1)
     jvm = {
         (r["term"], r["start_did"]): (r["_b"], r["_xb"])
         for r in ib.with_term_did_bucket_and_xb(df, cuts_td, xkeys).collect()
@@ -1219,3 +1219,73 @@ def test_udf_routed_build_matches_default(spark, corpus_small, index_dir, monkey
     import shutil
 
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_merge_indexes_cleans_level_temporaries(spark, tmp_path):
+    """Hierarchical merge (fan_in exceeded) must not leave the _level
+    intermediate index trees inside out_dir — they double the footprint
+    and masquerade as sibling indexes."""
+    import os
+
+    from simplir_spark.operators.merge import merge_indexes
+    from simplir_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, SF)
+    keys = sorted(r.doc_key for r in corpus.select("doc_key").collect())
+    cuts = [keys[len(keys) * i // 5] for i in range(1, 5)]
+    bounds = [None] + cuts + [None]
+    srcs = []
+    for i in range(5):
+        part = corpus
+        if bounds[i] is not None:
+            part = part.filter(F.col("doc_key") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("doc_key") < bounds[i + 1])
+        d = str(tmp_path / f"src{i}")
+        build_index(spark, part, d, n_partitions=2, run_size=64)
+        srcs.append(d)
+
+    out = str(tmp_path / "merged")
+    merge_indexes(spark, srcs, out, fan_in=2)  # 5 -> 3 -> 2 -> 1: two levels
+    leftovers = [e for e in os.listdir(out) if e.startswith("_level")]
+    assert leftovers == []
+    merged = open_index(spark, out)
+    assert merged.doc_count == corpus.count()
+
+
+def test_duplicate_query_ids_merge_not_double_score(spark, corpus_small, index_dir):
+    """A repeated query_id across entries must merge into one term set —
+    duplicate (query_id, term) rows would decode shared runs twice and
+    silently double the term's score contribution."""
+    from simplir_spark.operators.query import bm25_scan, merge_query_entries
+    from simplir_spark.operators.query_indexed import bm25_indexed
+
+    dup = [("q1", ["hash", "join"]), ("q1", ["hash", "window"]), ("q2", ["customer"])]
+    assert merge_query_entries(dup) == [
+        ("q1", ["hash", "join", "hash", "window"]),
+        ("q2", ["customer"]),
+    ]
+    clean = [("q1", ["hash", "join", "window"]), ("q2", ["customer"])]
+
+    idx = open_index(spark, index_dir)
+    for fn in (
+        lambda qs: bm25_indexed(spark, idx, qs, k=10),
+        lambda qs: bm25_scan(spark, corpus_small, qs, k=10),
+    ):
+        got = {(r.query_id, r.doc_key): round(r.score, 9) for r in fn(dup).collect()}
+        want = {(r.query_id, r.doc_key): round(r.score, 9) for r in fn(clean).collect()}
+        assert got == want and got
+
+
+def test_resolve_doc_keys_range_path_matches_isin(spark, corpus_small, index_dir, monkeypatch):
+    """Above _RESOLVE_ISIN_MAX distinct dids the docmeta prune switches
+    from an In-literal to a did-range filter + broadcast join; results
+    must be identical."""
+    import simplir_spark.operators.query_indexed as qi
+
+    idx = open_index(spark, index_dir)
+    queries = [("q1", ["hash", "join"]), ("q2", ["customer", "order"])]
+    base = sorted(tuple(r) for r in qi.bm25_indexed(spark, idx, queries, k=10).collect())
+    monkeypatch.setattr(qi, "_RESOLVE_ISIN_MAX", 0)
+    ranged = sorted(tuple(r) for r in qi.bm25_indexed(spark, idx, queries, k=10).collect())
+    assert base == ranged and base

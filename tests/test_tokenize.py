@@ -170,3 +170,22 @@ def test_max_token_len_cap(spark):
     assert capped.doc_len_alnum == 3  # alnum count is cap-free
     uncapped = with_tokens(df).collect()[0]
     assert list(uncapped.terms) == ["hello", blob, "world"]
+
+
+def test_tokenize_tf_from_raw_null_docs():
+    # regression: a NULL document reaches the pandas kernel as None
+    # (split(NULL) is NULL JVM-side); it must contribute nothing, like
+    # the Arrow kernels' fill_null path, not raise TypeError
+    import pandas as pd
+
+    from simplir_spark.functions.tokenize import tokenize_tf_from_raw
+
+    out = tokenize_tf_from_raw(
+        pd.Series([["hashes", "join", "hashes"], None, []], dtype=object)
+    )
+    assert list(out["doc_len"]) == [3, 0, 0]
+    assert list(out["terms"].iloc[0]) == ["hashes", "join"]
+    assert list(out["tfs"].iloc[0]) == [2, 1]
+    assert list(out["terms"].iloc[1]) == []
+    all_null = tokenize_tf_from_raw(pd.Series([None, None], dtype=object))
+    assert list(all_null["doc_len"]) == [0, 0]
