@@ -11,8 +11,9 @@ Subcommands:
     index         --corpus PATH --out INDEX_DIR [--partitions N]
     merge         --out INDEX_DIR SRC [SRC ...]
     query         --index INDEX_DIR --queries TSV --out RUN_DIR
-                  [--model bm25|tfidf] [--k K] [--k1 F] [--b F]
+                  [--model bm25|ql_dirichlet] [--k K] [--k1 F] [--b F] [--mu F]
     score         --corpus PATH --queries TSV --out RUN_DIR   (index-free EP1)
+                  [--model bm25|tfidf|ql_dirichlet|ql_jm|ql_laplace|ql_nosmoothing]
     eval          --run RUN_DIR --qrels PATH
 
 Query files are the reference's TSV: ``qid \\t space-separated terms``
@@ -52,7 +53,10 @@ def cmd_package(args) -> None:
             if "__pycache__" in dirpath:
                 continue
             for fn in files:
-                if fn.endswith(".py"):
+                # .py modules plus the package data files (stopword list
+                # etc.) — text.py reads them via importlib.resources,
+                # which resolves inside a --py-files zip
+                if fn.endswith((".py", ".txt")):
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, root))
     print(args.out)
@@ -105,12 +109,23 @@ def cmd_compact(args) -> None:
 
 def cmd_query(args) -> None:
     from simplir_spark.operators.index_build import open_index
-    from simplir_spark.operators.query_indexed import bm25_indexed
+    from simplir_spark.operators.query_indexed import bm25_indexed, ql_dirichlet_indexed
     from simplir_spark.sources.trec import write_trec_run
 
     spark = _spark(args)
     idx = open_index(spark, args.index)
-    res = bm25_indexed(spark, idx, _read_queries(args.queries), k=args.k, k1=args.k1, b=args.b)
+    qs = _read_queries(args.queries)
+    # dispatch on the model so the run file's method tag is truthful —
+    # previously every --model scored BM25 but stamped the requested name
+    if args.model == "bm25":
+        res = bm25_indexed(spark, idx, qs, k=args.k, k1=args.k1, b=args.b)
+    elif args.model == "ql_dirichlet":
+        res = ql_dirichlet_indexed(spark, idx, qs, k=args.k, mu=args.mu)
+    else:
+        raise SystemExit(
+            f"query: unsupported --model {args.model!r} for the indexed path "
+            "(bm25 | ql_dirichlet; use `score` for the scan-mode models)"
+        )
     write_trec_run(res, args.out, method=args.model)
     print(args.out)
 
@@ -304,10 +319,19 @@ def main(argv: list[str] | None = None) -> None:
             sp.add_argument("--corpus", required=True)
         sp.add_argument("--queries", required=True)
         sp.add_argument("--out", required=True)
-        sp.add_argument("--model", default="bm25")
+        sp.add_argument(
+            "--model",
+            default="bm25",
+            choices=(
+                ["bm25", "ql_dirichlet"]
+                if name == "query"
+                else ["bm25", "tfidf", "ql_dirichlet", "ql_jm", "ql_laplace", "ql_nosmoothing"]
+            ),
+        )
         sp.add_argument("--k", type=int, default=10)
         sp.add_argument("--k1", type=float, default=1.1)
         sp.add_argument("--b", type=float, default=0.4)
+        sp.add_argument("--mu", type=float, default=1000.0)
         sp.set_defaults(fn=cmd_query if name == "query" else cmd_score)
 
     sp = sub.add_parser("eval")

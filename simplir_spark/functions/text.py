@@ -30,9 +30,22 @@ def inquery_stopwords() -> list[str]:
     """The 418-word InQuery English stopword list the reference embeds
     (simplir-stop-words/src/SimplIR/StopWords.hs:9-20, data file
     simplir-stop-words/data/inquery-en.txt) — the Search2-pipeline default."""
-    path = os.path.join(os.path.dirname(__file__), "..", "data", "inquery_en.txt")
-    with open(path, encoding="utf-8") as f:
-        return [w.strip() for w in f if w.strip()]
+    # importlib.resources resolves both a filesystem checkout and a
+    # --py-files zip (zipimport Traversable); the direct open() fallback
+    # covers environments where the package metadata path is unusual
+    try:
+        from importlib import resources
+
+        txt = (
+            resources.files("simplir_spark")
+            .joinpath("data/inquery_en.txt")
+            .read_text(encoding="utf-8")
+        )
+    except Exception:
+        path = os.path.join(os.path.dirname(__file__), "..", "data", "inquery_en.txt")
+        with open(path, encoding="utf-8") as f:
+            txt = f.read()
+    return [w.strip() for w in txt.splitlines() if w.strip()]
 
 # tiny per-language profile word sets for the n-gram/stopword-vote lang id
 _LANG_PROFILES: dict[str, set[str]] = {

@@ -238,6 +238,12 @@ def simhash_near_pairs(
     by pigeonhole any pair within max_hamming < n_bands shares one exact
     band — equi-join per band, then exact popcount filter.
     """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"simhash_near_pairs: max_hamming ({max_hamming}) must be < "
+            f"n_bands ({n_bands}) — the pigeonhole recall guarantee needs "
+            "at least one untouched band, otherwise pairs are silently lost"
+        )
     width = n_bits // n_bands
     mask = (1 << width) - 1
     banded = None

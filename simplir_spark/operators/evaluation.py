@@ -114,6 +114,8 @@ def merge_rankings(runs: list[DataFrame], k: int | None = None) -> DataFrame:
     (-score, doc) — the MergeRankings tool
     (simplir-trec-streaming/MergeRankings.hs:39-70), including its
     non-finite-score filter (:63-67)."""
+    if not runs:
+        raise ValueError("merge_rankings: no runs to merge")
     merged = None
     for r in runs:
         merged = r if merged is None else merged.unionByName(r)

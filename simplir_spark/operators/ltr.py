@@ -187,7 +187,9 @@ def coordinate_ascent(
             cands, scores = _eval_coordinate_steps(
                 features, qrels, w, j, steps, eval_cutoff
             )
-            if not cands:
+            if not cands or not scores:
+                # scores is empty when no qrels-covered query survives the
+                # join (e.g. a batch of unjudged queries) — nothing to rank
                 continue
             si_best = max(sorted(scores), key=lambda k: scores[k])
             if scores[si_best] > best_map + 1e-12:
@@ -219,7 +221,7 @@ def _batch_sweep(
         improved = False
         for j in range(n_features):
             cands, scores = _eval_coordinate_steps(bf, bqr, w, j, steps, eval_cutoff)
-            if not cands:
+            if not cands or not scores:
                 continue
             si = max(sorted(scores), key=lambda s: scores[s])
             if scores[si] > local_best + 1e-12:
@@ -489,7 +491,14 @@ def k_fold_cross_validate(
         test_f = features.filter(F.col("qid").isin(test_qids))
         test_q = qrels.filter(F.col("qid").isin(test_qids))
         test_map = weighted_map(test_f, test_q, w)
-        test_maps.append((len(test_qids), test_map))
+        # weight by the number of queries the MAP actually averages over
+        # (those with >=1 relevant doc, the trec convention) — weighting
+        # by len(test_qids) would bias toward folds full of unjudged
+        # queries under partial qrels coverage
+        n_eval = (
+            test_q.filter(F.col("relevance") > 0).select("qid").distinct().count()
+        )
+        test_maps.append((n_eval, test_map))
         fold_rows.append(
             {
                 "fold": fold_idx,

@@ -99,7 +99,18 @@ def rp_lsh_buckets(
 
     Arrow-vectorized: the whole batch's vectors hit one numpy matmul.
     """
+    if n_bits % n_bands != 0:
+        raise ValueError(
+            f"rp_lsh: n_bits ({n_bits}) must be divisible by n_bands ({n_bands})"
+        )
     dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        # empty input: nothing to bucket, and no dimension to infer
+        return emb.select(
+            F.col(id_col),
+            F.lit(0).alias("band"),
+            F.lit(0).cast("long").alias("bucket"),
+        ).filter(F.lit(False))
     dim = int(dim_row["d"])
     planes = _hyperplanes(dim, n_bits, seed)
     width = n_bits // n_bands
@@ -489,6 +500,10 @@ def cosine_neardup_pairs(
     at scale, recall < 1 for pairs near the threshold (standard LSH
     trade-off; tests assert lsh ⊆ brute).
     """
+    if method not in ("brute", "lsh"):
+        # fail fast: a typo'd method would otherwise silently fall into
+        # the O(N^2) brute branch at scales where only LSH is viable
+        raise ValueError(f"cosine_neardup_pairs: unknown method {method!r}")
     base = with_norm(emb, vec_col).select(F.col(id_col), "_v", "_norm")
     if method == "lsh":
         buckets = rp_lsh_buckets(emb, n_bits, n_bands, id_col, vec_col)

@@ -109,10 +109,21 @@ def histogram(
     under/overflow, mirroring width_bucket semantics.
     """
     c = F.col(col).cast("double")
+    # NULLs have no bin: width_bucket(NULL) is NULL and F.least() SKIPS
+    # nulls, which would silently fold every NULL row into the top bin
+    df = df.filter(c.isNotNull())
     if lo is None or hi is None:
         row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
-        lo = float(row.lo) if lo is None else lo
-        hi = float(row.hi) if hi is None else hi
+        if row.lo is None:  # empty (or all-null) input: any bounds do
+            lo, hi = 0.0, 1.0
+        else:
+            lo = float(row.lo) if lo is None else lo
+            hi = float(row.hi) if hi is None else hi
+    if hi <= lo:
+        # degenerate range (constant column under auto bounds):
+        # width_bucket(x, lo, lo, n) is NULL for every row — widen so the
+        # whole distribution lands in bucket 1 instead of vanishing
+        hi = lo + 1.0
     if log:
         c2 = F.when(c > 0, F.log10(c)).otherwise(F.lit(float("-inf")))
         import math

@@ -71,7 +71,6 @@ from simplir_spark.functions.scoring import (
     tfidf_term_score,
 )
 from simplir_spark.functions.tokenize import with_tokens
-from simplir_spark.operators.query import topk_ranked
 from simplir_spark.operators.stats import doc_term_tfs, term_stats
 
 
@@ -341,6 +340,17 @@ def compile_query_grid(
         t = node["type"]
         if t == "const":
             return F.lit(float(node["value"]))
+        if t == "drop":
+            # Maybe-Nothing, same as compile_query: NULL poisons the
+            # containing sum/product and the row is filtered below
+            return F.lit(None).cast("double")
+        if t == "feature":
+            # grid has no feature-recording sink; evaluate as the
+            # weighted (optionally log-transformed) child, the same
+            # score semantics as compile_query's feature case
+            child = build(node["child"], prefix, leaf_iter)
+            val = F.log(child) if node.get("log", False) else child
+            return F.lit(float(node.get("weight", 1.0))) * val
         if t in ("sum", "product"):
             cols = [build(c, prefix, leaf_iter) for c in node["children"]]
             out = cols[0]
@@ -370,6 +380,8 @@ def compile_query_grid(
     stacked = per_doc.select(
         "doc_key", F.explode(F.array(*structs)).alias("_ps")
     ).select("doc_key", F.col("_ps.param_set").alias("param_set"), F.col("_ps.score").alias("score"))
+    # drop-node semantics (compile_query parity): NULL score = Nothing
+    stacked = stacked.filter(F.col("score").isNotNull())
 
     w = Window.partitionBy("param_set").orderBy(F.desc("score"), F.col("doc_key"))
     return (

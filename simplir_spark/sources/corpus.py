@@ -34,6 +34,11 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
     for the synthetic documents table (zero-padding keeps lexicographic
     order == numeric order, which our dense-id assignment sorts by).
     """
+    if os.path.exists(path) and not os.path.isabs(path):
+        # Spark resolves relative paths against the JVM's cwd, which does
+        # not follow the Python process's chdir — absolutize every LOCAL
+        # path branch, not just the documents.parquet one
+        path = os.path.abspath(path)
     if path.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz", ".ndjson")):
         # JSON-lines corpora (one document object per line; Spark's JSON
         # reader splits and decompresses per-file natively, so a directory
@@ -46,10 +51,6 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
     elif path.endswith(".parquet") or path.endswith("/"):
         df = spark.read.parquet(path)
     else:
-        if os.path.isdir(path):
-            # Spark resolves relative paths against the JVM's cwd, which
-            # does not follow the Python process's chdir — absolutize
-            path = os.path.abspath(path)
         df = spark.read.parquet(f"{path}/documents.parquet")
 
     cols = set(df.columns)

@@ -381,3 +381,31 @@ def test_ivf_udf_assignment_matches_expr(spark):
             ).collect()
         )
         assert expr == udf == udf2 and expr, fn.__name__
+
+
+def test_simhash_near_pairs_rejects_unsound_band_count():
+    import pytest as _pytest
+
+    from simplir_spark.operators.dedup import simhash_near_pairs
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(None, max_hamming=4, n_bands=4)
+
+
+def test_rp_lsh_validations(spark):
+    import pytest as _pytest
+
+    from simplir_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        rp_lsh_buckets,
+    )
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                                "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="divisible"):
+        rp_lsh_buckets(emb, n_bits=16, n_bands=3)
+    with _pytest.raises(ValueError, match="unknown method"):
+        cosine_neardup_pairs(emb, 0.9, method="lshh")
+    # empty input: no crash, empty buckets
+    empty = emb.filter("vec_id < 0")
+    assert rp_lsh_buckets(empty).count() == 0

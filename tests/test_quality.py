@@ -179,3 +179,21 @@ def test_pii_counts_match_duckdb_patterns(spark):
         srow = spark_rows[orow.doc_id]
         for c in ("n_email", "n_url", "n_ipv4", "n_phone", "n_pii"):
             assert srow[c] == orow[c], (orow.doc_id, c, srow[c], orow[c])
+
+
+def test_histogram_ignores_nulls_and_handles_constant_column(spark):
+    # regression: NULL values used to land in the TOP bin (width_bucket
+    # returns NULL and F.least skips nulls); a constant column under auto
+    # bounds made every bucket NULL
+    from simplir_spark.operators.stats import histogram
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (None,), (3.0,)], "v double"
+    )
+    out = {r["bucket"]: r["n"] for r in histogram(df, "v", n_bins=2).collect()}
+    assert sum(out.values()) == 3  # nulls contribute to NO bin
+    const = spark.createDataFrame([(7.0,)] * 4, "v double")
+    out2 = {r["bucket"]: r["n"] for r in histogram(const, "v", n_bins=5).collect()}
+    assert out2 == {1: 4}  # degenerate range widens; all rows in bucket 1
+    empty = spark.createDataFrame([], "v double")
+    assert histogram(empty, "v", n_bins=3).count() == 0

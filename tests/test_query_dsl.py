@@ -324,3 +324,49 @@ def test_dsl_phrase_in_grid(spark, corpus_small, oracle_idx):
         assert [(r.rank, r.doc_key) for r in have] == [(rk, ky) for rk, ky, _ in want]
         for r, (_, _, score) in zip(have, want):
             assert abs(r.score - score) <= REL * max(1.0, abs(score))
+
+
+def test_grid_supports_feature_and_drop_nodes(spark, corpus_small):
+    """compile_query_grid used to raise ValueError on feature/drop nodes
+    that compile_query accepts, and lacked the NULL-score drop filter."""
+    from simplir_spark.plans.query_dsl import compile_query, compile_query_grid
+
+    template = {
+        "type": "sum",
+        "children": [
+            {
+                "type": "feature",
+                "name": "f_bm25",
+                "log": False,
+                "weight": "{{w}}",
+                "child": {
+                    "type": "retrieve", "model": "bm25", "terms": ["hash", "join"],
+                },
+            },
+            {
+                "type": "cond",
+                "predicate_terms": ["customer"],
+                "negated": False,
+                "then": {"type": "drop"},
+                "else": {"type": "const", "value": 0.0},
+            },
+        ],
+    }
+    grid = compile_query_grid(
+        spark, corpus_small, template,
+        {"w1": {"w": 1.0}, "w2": {"w": 2.0}}, k=5, round_dp=6,
+    ).collect()
+    assert grid  # runs, and drop-filtered rows are gone
+    by_set = {}
+    for r in grid:
+        by_set.setdefault(r["param_set"], {})[r["doc_key"]] = r["score"]
+    # each param set must equal the single-query compile of the same tree
+    from simplir_spark.plans.query_dsl import resolve_params
+
+    for name, w in [("w1", 1.0), ("w2", 2.0)]:
+        single = compile_query(
+            spark, corpus_small, resolve_params(template, {"w": w}), k=5, round_dp=6
+        ).collect()
+        want = {r["doc_key"]: r["score"] for r in single}
+        assert by_set[name] == want, name
+        # drop semantics: no doc containing 'customer' survives
