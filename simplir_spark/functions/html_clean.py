@@ -52,8 +52,11 @@ class _Tokens(HTMLParser):
         self.tokens.append(("open", tag.casefold()))
 
     def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
-        # <br/> behaves as an open tag for whitespace purposes
-        self.tokens.append(("open", tag.casefold()))
+        # distinct kind: a self-closing tag opens AND closes.  Emitting a
+        # bare 'open' left a dropped tag (<script .../>) waiting forever
+        # for a close, discarding the rest of the document; emitting
+        # open+close would double the whitespace break for <br/>
+        self.tokens.append(("selfclose", tag.casefold()))
 
     def handle_endtag(self, tag: str) -> None:
         self.tokens.append(("close", tag.casefold()))
@@ -74,6 +77,8 @@ def _inside_tag(name: str, tokens: list[tuple[str, str]]) -> list[tuple[str, str
     None when the tag never opens."""
     start = None
     for i, (kind, val) in enumerate(tokens):
+        if kind == "selfclose" and val == name:
+            return []  # opens and immediately closes: empty inner
         if kind == "open" and val == name:
             start = i
             break
@@ -97,6 +102,8 @@ def _drop_tags(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
         if open_drop is None:
             if kind == "open" and val in DROPPED_TAGS:
                 open_drop = val
+            elif kind == "selfclose" and val in DROPPED_TAGS:
+                pass  # empty dropped subtree: skip the token, no state
             else:
                 out.append((kind, val))
         else:

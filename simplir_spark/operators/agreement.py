@@ -74,6 +74,8 @@ def fleiss_kappa(
         F.sum("n").alias("s_n"),
     ).collect()[0]
     n_items = int(row["n_items"])
+    if n_items == 0:
+        raise ValueError("fleiss_kappa: no assessments")
     n_raters = int(row["n_max"])
     if n_raters != int(row["n_min"]):
         raise ValueError(

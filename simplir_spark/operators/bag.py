@@ -32,7 +32,18 @@ def bag_from_items_normed(
     """Bag.fromListNormed: each occurrence weighs 1/n of its group
     (Bag.hs:75-80) — the bag sums to 1 when items are distinct."""
     gc = group_cols or []
-    w = Window.partitionBy(*gc) if gc else Window.partitionBy()
+    if not gc:
+        # no empty window (single-task funnel): group counts first (the
+        # distributed aggregation), scalar total via agg + literal
+        counts = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("_c"))
+        row = counts.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("_t")).collect()[0]
+        total = int(row["_t"])
+        if total == 0:
+            return counts.select(item_col, F.lit(0.0).alias("weight")).filter(F.lit(False))
+        return counts.select(
+            item_col, (F.col("_c") / F.lit(float(total))).alias("weight")
+        )
+    w = Window.partitionBy(*gc)
     with_n = items.withColumn("_n", F.count(F.lit(1)).over(w))
     return with_n.groupBy(*gc, item_col).agg(
         F.sum(F.lit(1.0) / F.col("_n")).alias("weight")
@@ -49,7 +60,16 @@ def bag_normalize(
 ) -> DataFrame:
     """Bag.normalize: per-group L1 normalization (Bag.hs:50-55)."""
     gc = group_cols or []
-    w = Window.partitionBy(*gc) if gc else Window.partitionBy()
+    if not gc:
+        # an empty window (partitionBy()) would funnel the whole bag
+        # through ONE task; a scalar aggregate + literal divide keeps the
+        # normalization fully distributed
+        row = bag.agg(F.sum(weight_col).alias("_t")).collect()[0]
+        total = row["_t"]
+        if total is None:
+            return bag
+        return bag.withColumn(weight_col, F.col(weight_col) / F.lit(float(total)))
+    w = Window.partitionBy(*gc)
     return bag.withColumn(weight_col, F.col(weight_col) / F.sum(weight_col).over(w))
 
 
@@ -80,6 +100,9 @@ def bag_by_frequency(
     """Bag.byFrequency: rank items highest weight first (ties by item for
     determinism — the reference's sort is weight-only, SURVEY.md §4.4)."""
     gc = group_cols or []
+    # NOTE: with no group_cols this is a TOTAL order — a global ranking
+    # is inherently a single sorted stream; at scale rank within groups
+    # or take a bounded top-k (orderBy + limit) instead
     w = (Window.partitionBy(*gc) if gc else Window.partitionBy()).orderBy(
         F.desc(weight_col), F.col(item_col)
     )

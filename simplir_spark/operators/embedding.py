@@ -28,8 +28,12 @@ def load_glove(spark, path: str, dim: int) -> DataFrame:
         lines.select(
             F.element_at(parts, 1).alias("term"),
             F.slice(parts, 2, dim).alias("_s"),
+            F.size(parts).alias("_arity"),
         )
-        .filter(F.size("_s") == dim)
+        # exact arity, not size(_s) == dim: slice() returns dim elements
+        # for ANY longer line, which would silently truncate a 100-d file
+        # loaded with dim=50 instead of dropping the wrong-arity rows
+        .filter(F.col("_arity") == dim + 1)
         .select("term", F.transform("_s", lambda x: x.cast("double")).alias("vec"))
     )
 

@@ -25,9 +25,16 @@ from pyspark.sql import functions as F
 # phone pattern; emails before hosts for the same reason).
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "url": r"https?://[^\s]+",
+    # NOT [^\s]: Java's \s includes \x0B, RE2's does not — an explicit
+    # class keeps the two engines matching the same spans (the same
+    # divergence text.py works around for its token regex)
+    "url": r"https?://[^ \t\r\n\f\x0B]+",
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
-    "phone": r"\+?[0-9][0-9()\[\]. -]{7,14}[0-9]\b",
+    # one digit per repeat with at most two separators between digits
+    # (") " in formatted numbers), 9+ digits total: an ISO date (8
+    # digits) can no longer redact to <PHONE>; the dialect has no
+    # lookaround (RE2), so \b bounds both ends
+    "phone": r"\+?\b[0-9](?:[()\[\]. -]{0,2}[0-9]){8,15}\b",
 }
 
 

@@ -168,14 +168,20 @@ def repeated_spans(
     else:
         raise ValueError(f"unknown method: {method!r}")
     if keep == "first":
-        # occurrence rank 1 per hash = the canonical copy; ranks >= 2
-        # exist only for duplicated hashes, so no separate count pass
-        wh = Window.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
-        dup = (
-            w.withColumn("_rn", F.row_number().over(wh))
-            .filter(F.col("_rn") >= 2)
-            .drop("_rn")
-        )
+        # canonical copy per hash = min (id, pos) occurrence.  A
+        # row_number window over partitionBy(h) would funnel EVERY
+        # occurrence of a hot boilerplate hash into one sorted task
+        # (10^9-row license headers -> straggler); min(struct) is a
+        # map-side-combinable aggregate, so the hot hash reduces to one
+        # row per partition before the exchange, and a join marks the
+        # non-canonical occurrences
+        canon = w.groupBy("h").agg(
+            F.min(F.struct(F.col(id_col).alias("_cid"), F.col("pos").alias("_cpos"))).alias("_c"),
+            F.count(F.lit(1)).alias("_n"),
+        ).filter(F.col("_n") >= 2).select("h", "_c._cid", "_c._cpos")
+        dup = w.join(canon, "h").filter(
+            (F.col(id_col) != F.col("_cid")) | (F.col("pos") != F.col("_cpos"))
+        ).select(*w.columns)
     elif keep == "all":
         dup_h = (
             w.groupBy("h")

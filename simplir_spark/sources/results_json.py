@@ -77,15 +77,20 @@ def matched_positions(
                         out["char_pos"].append(m.start())
             yield pd.DataFrame(
                 {
-                    "doc_key": pd.Series(out["doc_key"], dtype="int64"),
+                    # object dtype: doc_key is long for the synthetic
+                    # corpus but a STRING name for native corpora
+                    # (load_corpus's repo/path@commit) — Arrow casts to
+                    # whichever type the declared schema carries
+                    "doc_key": pd.Series(out["doc_key"], dtype=object),
                     "term": pd.Series(out["term"], dtype=object),
                     "token_pos": pd.Series(out["token_pos"], dtype="int32"),
                     "char_pos": pd.Series(out["char_pos"], dtype="int32"),
                 }
             )
 
+    key_type = docs.schema["doc_key"].dataType.simpleString()
     occ = docs.mapInPandas(
-        kernel, "doc_key long, term string, token_pos int, char_pos int"
+        kernel, f"doc_key {key_type}, term string, token_pos int, char_pos int"
     )
     # restrict to (query, doc) pairs from the run and that query's terms
     return (
@@ -109,9 +114,15 @@ def write_results_json(
     ``doc_meta`` may carry (doc_key, doc_len[, archive]) — doc length and
     archive fields; missing pieces default to 0/''.
     """
+    def _py(v):
+        # numpy scalar -> plain python (JSON-serializable, dict-hashable);
+        # string doc_keys pass through — the reference keys results by
+        # document NAME (Search.hs), so keys must not be forced to int
+        return v.item() if hasattr(v, "item") else v
+
     pos_rows = matched_positions(run, corpus, queries).collect()
     run_rows = run.select("query_id", "doc_key", "rank", "score").collect()
-    meta: dict[int, tuple[int, str]] = {}
+    meta: dict = {}
     if doc_meta is not None:
         cols = doc_meta.columns
         # bound the collect to the run's documents (queries x k rows), the
@@ -120,21 +131,21 @@ def write_results_json(
         run_keys = run.select("doc_key").distinct()
         doc_meta = doc_meta.join(run_keys, "doc_key", "left_semi")
         for r in doc_meta.collect():
-            meta[int(r["doc_key"])] = (
+            meta[_py(r["doc_key"])] = (
                 int(r["doc_len"]) if "doc_len" in cols else 0,
                 str(r["archive"]) if "archive" in cols else "",
             )
 
-    by_qd: dict[tuple[str, int], dict[str, list[dict]]] = {}
+    by_qd: dict[tuple, dict[str, list[dict]]] = {}
     for r in pos_rows:
-        postings = by_qd.setdefault((r["query_id"], int(r["doc_key"])), {})
+        postings = by_qd.setdefault((r["query_id"], _py(r["doc_key"])), {})
         postings.setdefault(r["term"], []).append(
             {"token_pos": int(r["token_pos"]), "char_pos": int(r["char_pos"])}
         )
 
     by_q: dict[str, list] = {}
     for r in sorted(run_rows, key=lambda r: (r["query_id"], r["rank"])):
-        dk = int(r["doc_key"])
+        dk = _py(r["doc_key"])
         dl, archive = meta.get(dk, (0, ""))
         postings = by_qd.get((r["query_id"], dk), {})
         by_q.setdefault(r["query_id"], []).append(

@@ -36,7 +36,7 @@ def write_trec_run(ranked: DataFrame, path: str, method: str = "simplir_spark",
 
 def read_trec_run(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.text(path)
-    parts = F.split(F.col("value"), r"\s+")
+    parts = F.split(F.trim(F.col("value")), r"\s+")
     return df.select(
         parts.getItem(0).alias("qid"),
         parts.getItem(2).alias("doc"),
@@ -49,7 +49,7 @@ def read_trec_run(spark: SparkSession, path: str) -> DataFrame:
 def read_qrels(spark: SparkSession, path: str) -> DataFrame:
     """qid 0 doc relevance (QRel.hs:71-88)."""
     df = spark.read.text(path)
-    parts = F.split(F.col("value"), r"\s+")
+    parts = F.split(F.trim(F.col("value")), r"\s+")
     return df.select(
         parts.getItem(0).alias("qid"),
         parts.getItem(2).alias("doc"),

@@ -302,3 +302,20 @@ def test_trec_eval_py_known_value():
     # DCG@2 = 1/log2(2) (only `a` relevant in top-2); IDCG@2 over 2 of the
     # 3 relevant docs = 1/log2(2) + 1/log2(3)
     assert ndcg["q1"] == pytest.approx(1.0 / (1.0 + 1.0 / math.log2(3.0)))
+
+
+def test_trec_readers_tolerate_leading_whitespace(spark, tmp_path):
+    # regression: split on \s+ without trim made a leading space shift
+    # every parsed field by one, silently corrupting the row
+    from simplir_spark.sources.trec import read_qrels, read_trec_run
+
+    run = tmp_path / "run.txt"
+    run.write_text("  301 Q0 doc1 1 2.5 m\n301 Q0 doc2 2 1.5 m\n")
+    rows = sorted(
+        tuple(r) for r in read_trec_run(spark, str(run)).collect()
+    )
+    assert rows == [("301", "doc1", 1, 2.5, "m"), ("301", "doc2", 2, 1.5, "m")]
+    q = tmp_path / "qrels.txt"
+    q.write_text(" 301 0 doc1 1\n")
+    qr = read_qrels(spark, str(q)).collect()
+    assert [(r["qid"], r["doc"], r["relevance"]) for r in qr] == [("301", "doc1", 1)]

@@ -87,3 +87,17 @@ def test_html_clean_dataframe(spark):
     rows = {r.doc_id: (r.title, r.body) for r in html_clean(df).collect()}
     assert rows[1] == ("A", "one")
     assert rows[2] == ("", "two")
+
+
+def test_self_closing_dropped_tag_keeps_rest_of_body():
+    # regression: <script .../> emitted only an open token, so everything
+    # after it waited for a close that never came and was discarded
+    from simplir_spark.functions.html_clean import clean_html
+
+    _, body = clean_html(
+        '<html><body>keep1 <script src="x.js"/> keep2 <canvas/> keep3</body></html>'
+    )
+    assert "keep1" in body and "keep2" in body and "keep3" in body
+    # <br/> still contributes exactly one whitespace break
+    _, b2 = clean_html("<body>a<br/>b</body>")
+    assert b2 == "a b"

@@ -424,3 +424,13 @@ def test_learn_to_rank_full_loop(spark):
         seed=3,
     )
     assert (w, m) == (w2, m2)
+
+
+def test_fleiss_kappa_empty_input_raises_cleanly(spark):
+    import pytest as _pytest
+
+    from simplir_spark.operators.agreement import fleiss_kappa
+
+    empty = spark.createDataFrame([], "item string, rater string, label string")
+    with _pytest.raises(ValueError, match="no assessments"):
+        fleiss_kappa(empty, item_col="item", label_col="label")

@@ -197,3 +197,40 @@ def test_histogram_ignores_nulls_and_handles_constant_column(spark):
     assert out2 == {1: 4}  # degenerate range widens; all rows in bucket 1
     empty = spark.createDataFrame([], "v double")
     assert histogram(empty, "v", n_bins=3).count() == 0
+
+
+def test_pii_phone_does_not_eat_dates_and_url_is_engine_identical(spark):
+    # regression: the phone pattern matched ISO dates (8 digits with
+    # dashes) and the URL pattern used [^\s], whose \s differs between
+    # Java regex and RE2 on \x0B
+    import duckdb
+
+    from simplir_spark.operators.pii import (
+        PII_PATTERNS,
+        pii_oracle_sql_columns,
+        pii_stats,
+    )
+
+    rows = [
+        (1, "released on 2026-08-17 and 2027-01-02"),
+        (2, "call +1 (415) 555-0123 or 4155550123"),
+        (3, "see http://a.com\x0b1.2.3.4 now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_phone"], r["n_url"], r["n_ipv4"])
+           for r in pii_stats(docs).collect()}
+    assert got[1][0] == 0  # dates are not phones
+    assert got[2][0] == 2
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in rows)
+            + ") t(doc_id, text)")
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            "SELECT doc_id, n_phone, n_url, n_ipv4 FROM (SELECT doc_id, "
+            + pii_oracle_sql_columns()
+            + " FROM documents)"
+        ).fetchall()
+    }
+    assert got == want  # including the \x0B document

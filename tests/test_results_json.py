@@ -72,3 +72,26 @@ def test_write_results_json_shape(spark, tiny, tmp_path):
     terms = {p["term"]: p["positions"] for p in top["postings"]}
     assert [p["token_pos"] for p in terms["apple"]] == [0, 3]
     assert terms["cherry"] == [{"token_pos": 2, "char_pos": 13}]
+
+
+def test_results_json_string_doc_keys(spark, tmp_path):
+    # regression: the positions kernel and JSON assembly hard-coded
+    # doc_key as int64, crashing on native corpora whose doc_key is the
+    # reference's string document name (repo/path@commit)
+    from simplir_spark.sources.results_json import write_results_json
+
+    corpus = spark.createDataFrame(
+        [("r/a.py@c1", "alpha beta alpha"), ("r/b.py@c2", "beta gamma")],
+        "doc_key string, content string",
+    )
+    run = spark.createDataFrame(
+        [("Q1", "r/a.py@c1", 1, 2.0), ("Q1", "r/b.py@c2", 2, 1.0)],
+        "query_id string, doc_key string, rank int, score double",
+    )
+    out = str(tmp_path / "results.json")
+    doc = write_results_json(run, corpus, [("Q1", ["alpha", "beta"])], out)
+    assert doc[0]["query_id"] == "Q1"
+    names = [r["doc_name"] for r in doc[0]["results"]]
+    assert names == ["r/a.py@c1", "r/b.py@c2"]
+    terms = {p["term"] for r in doc[0]["results"] for p in r["postings"]}
+    assert terms == {"alpha", "beta"}
