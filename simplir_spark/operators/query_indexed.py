@@ -626,29 +626,27 @@ def _resolve_doc_keys(spark: SparkSession, index: IndexHandle, topk: DataFrame) 
     """
     topk = topk.persist()
     _live_topk_caches.register(topk)
-    # one bounded aggregate decides the pruning strategy — never collect
-    # an unbounded did list (10k queries x k=1000 would put 10^7 dids in
-    # an In-literal; Catalyst chokes well below that, the same plan-size
-    # wall the index build's bucket routing hit at ~32k literals)
-    stats = topk.agg(
-        F.min("did").alias("lo"),
-        F.max("did").alias("hi"),
-        F.count_distinct("did").alias("n"),
-    ).first()
-    if stats["n"] == 0:
+    # ONE bounded job for the common case: collect distinct dids only up
+    # to the In-literal cap (+1 sentinel).  Never collect an unbounded
+    # did list — 10k queries x k=1000 would put 10^7 dids in an
+    # In-literal, and Catalyst chokes well below that (the same
+    # plan-size wall the index build's bucket routing hit at ~32k
+    # literals).  Only the over-cap case pays a second aggregate.
+    sample = topk.select("did").distinct().limit(_RESOLVE_ISIN_MAX + 1).collect()
+    if not sample:
         key_type = index.docmeta.schema["doc_key"].dataType.simpleString()
         return spark.createDataFrame(
             [], f"query_id string, doc_key {key_type}, rank int, score double"
         )
     meta = index.docmeta.select("did", "doc_key")
-    if stats["n"] <= _RESOLVE_ISIN_MAX:
-        dids = sorted(r["did"] for r in topk.select("did").distinct().collect())
-        meta = meta.filter(F.col("did").isin(dids))
+    if len(sample) <= _RESOLVE_ISIN_MAX:
+        meta = meta.filter(F.col("did").isin(sorted(r["did"] for r in sample)))
     else:
         # did-range filter keeps parquet min/max row-group pruning on the
         # did-contiguous partitions; the broadcast join removes the rest
+        bounds = topk.agg(F.min("did").alias("lo"), F.max("did").alias("hi")).first()
         meta = meta.filter(
-            (F.col("did") >= stats["lo"]) & (F.col("did") <= stats["hi"])
+            (F.col("did") >= bounds["lo"]) & (F.col("did") <= bounds["hi"])
         )
     return (
         meta.join(F.broadcast(topk), "did")
