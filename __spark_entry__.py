@@ -102,7 +102,18 @@ def _indexed(spark: SparkSession, sf_dir: str):
         out = os.path.join(
             tempfile.gettempdir(), "simplir_idx_" + key.strip("/").replace("/", "_")
         )
-        build_index(spark, _corpus(spark, sf_dir), out)
+        # the shared path lets repeated driver runs reuse the checkpointed
+        # build, but two processes building concurrently would interleave
+        # stage writes — serialize with a blocking flock (the second
+        # process then resumes from the first's finished checkpoints)
+        import fcntl
+
+        with open(out + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                build_index(spark, _corpus(spark, sf_dir), out)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
         _INDEX_CACHE[key] = open_index(spark, out)
     return _INDEX_CACHE[key]
 
@@ -114,7 +125,10 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplir_spark.operators.query_indexed import bm25_indexed
 
     idx = _indexed(spark, sf_dir)
-    res = bm25_indexed(spark, idx, QUERIES, k=K)
+    # fetch a margin past K: truncating at K on RAW scores before the
+    # rounded re-rank could drop a doc that ties at the boundary after
+    # round(,6) and would win the doc_id tie-break
+    res = bm25_indexed(spark, idx, QUERIES, k=K + 20)
     # re-rank on rounded scores for cross-engine determinism
     scored = res.select("query_id", "doc_key", F.round("score", DP).alias("score"))
     return _rename_key(topk_ranked(scored, K).select("query_id", "doc_key", "rank", "score"))
@@ -565,18 +579,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simplir_spark.operators.multimodal import extract_features
 
+    # the fake/real switch is read at PLAN-BUILD time into a closure, so
+    # setting the env only around construction is enough — and restoring
+    # it keeps later real-decode paths in this process honest
+    _prev_fake = _os.environ.get("SIMPLIR_FAKE_DECODE")
     _os.environ["SIMPLIR_FAKE_DECODE"] = "1"
-    media = _documents(spark, sf_dir).select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.struct(
-            F.lit(64).alias("width"), F.lit(64).alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
-        ).alias("meta"),
-    )
-    feats = extract_features(media, dim=8)
+    try:
+        media = _documents(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            F.struct(
+                F.lit(64).alias("width"), F.lit(64).alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        )
+        feats = extract_features(media, dim=8)
+    finally:
+        if _prev_fake is None:
+            _os.environ.pop("SIMPLIR_FAKE_DECODE", None)
+        else:
+            _os.environ["SIMPLIR_FAKE_DECODE"] = _prev_fake
     exploded = feats.select(
         "media_id", "kind", "n_bytes", "sha256",
         F.posexplode("feature").alias("ix", "fv"),
@@ -963,7 +987,9 @@ def q_ql_dirichlet_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplir_spark.operators.query_indexed import ql_dirichlet_indexed
 
     idx = _indexed(spark, sf_dir)
-    res = ql_dirichlet_indexed(spark, idx, QL_QUERIES, k=K, mu=1000.0)
+    # K+20 margin: see q_bm25_topk_indexed — raw-score truncation at K
+    # could lose a rounded-tie boundary doc before the re-rank
+    res = ql_dirichlet_indexed(spark, idx, QL_QUERIES, k=K + 20, mu=1000.0)
     scored = res.select("query_id", "doc_key", F.round("score", DP).alias("score"))
     return _rename_key(topk_ranked(scored, K).select("query_id", "doc_key", "rank", "score"))
 

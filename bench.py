@@ -46,6 +46,14 @@ def run_bench(sf_dir: str, cores: int, out_stream=sys.stdout) -> dict:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "100"))
 
+    # an already-active session would win getOrCreate and silently run
+    # the benchmark at ITS core count while we label the result `cores` —
+    # stop it first (same guard bench_scaling.one_run uses)
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
     spark = get_spark("simplir_bench", cores=cores, shuffle_partitions=cores)
     corpus = entry._corpus(spark, sf_dir)
     n_docs = corpus.count()
@@ -118,7 +126,8 @@ def run_bench(sf_dir: str, cores: int, out_stream=sys.stdout) -> dict:
             timed(
                 "boundary_sketch_16k",
                 lambda: sample_boundaries(
-                    amp_corpus.select("doc_key"), "doc_key", 16384
+                    amp_corpus.select("doc_key"), "doc_key", 16384,
+                    n=n_docs * amplify,
                 ),
             )
 

@@ -288,8 +288,12 @@ def main() -> None:
         eff_pairs.append(
             round(b["files_per_sec"] / (factor * a["files_per_sec"]), 3)
         )
-    eff_sorted = sorted(eff_pairs)
-    eff_med = eff_sorted[len(eff_sorted) // 2]
+    import statistics
+
+    # true median (mean of middle two for even counts): sorted()[n//2] is
+    # the UPPER-middle sample for n=4, which systematically inflated the
+    # headline number labeled MEDIAN
+    eff_med = round(statistics.median(eff_pairs), 3)
     # pooled bests (for the per-stage table and the legacy min-based view)
     amp = [
         min(pair_lo, key=lambda r: r["build_sec"]),
@@ -427,4 +431,5 @@ if __name__ == "__main__":
     main()
     # lingering py4j/multiprocessing threads can keep the process alive
     # after all output is written — force a clean exit
+    sys.stdout.flush()  # os._exit skips Python's buffered-IO teardown
     os._exit(0)

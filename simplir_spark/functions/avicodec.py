@@ -110,6 +110,9 @@ def avi_encode_mjpeg(
         raise ValueError("no frames")
     if fps <= 0:
         raise ValueError("fps must be positive")
+    if not (0 < width < 32768 and 0 < height < 32768):
+        # rcFrame is signed 16-bit in the stream header
+        raise ValueError(f"AVI dimensions out of range: {width}x{height}")
     scale, rate = 1000, int(round(fps * 1000))
     max_frame = max(len(f) for f in frames)
 
@@ -176,8 +179,17 @@ def video_features(clip: VideoClip, dim: int = 8) -> list[float]:
     from simplir_spark.functions.imagecodec import image_features
     from simplir_spark.functions.jpegcodec import decode_jpeg
 
+    from simplir_spark.functions.imagecodec import DECODE_ERRORS
+
     base = [float(clip.n_frames), float(clip.fps)]
     if dim > len(base):
-        mid = decode_jpeg(clip.frames[clip.n_frames // 2])
-        base += image_features(mid, dim - len(base))
+        try:
+            mid = decode_jpeg(clip.frames[clip.n_frames // 2])
+        except DECODE_ERRORS:
+            # container parsed but the middle frame is corrupt/unsupported:
+            # degrade the pixel-derived tail to zeros instead of killing
+            # the whole mapInPandas batch (the try_decode contract)
+            base += [0.0] * (dim - len(base))
+        else:
+            base += image_features(mid, dim - len(base))
     return base[:dim]

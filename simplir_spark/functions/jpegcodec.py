@@ -153,6 +153,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if d[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         m = d[i + 1]
+        if m == 0xFF:  # fill byte padding before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
         if m == 0xD9:  # EOI
             break
         if m in (0x01,) or 0xD0 <= m <= 0xD7:

@@ -793,3 +793,61 @@ def test_resample_empty_clip_passes_through():
     clip = AudioClip(np.zeros((0, 2)), 44100)
     out = resample_linear(clip, 16000)
     assert out.sample_rate == 16000 and out.n_frames == 0 and out.n_channels == 2
+
+
+def test_jpeg_fill_bytes_before_marker_decode():
+    # regression: legal 0xFF fill padding before a marker (ITU T.81
+    # B.1.1.2) used to abort the marker scan
+    import numpy as np
+
+    from simplir_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    payload = encode_jpeg(rgb)
+    # insert a fill byte right before the SOS marker (FF DA)
+    i = payload.index(b"\xff\xda")
+    padded = payload[:i] + b"\xff" + payload[i:]
+    a = decode_jpeg(payload)
+    b = decode_jpeg(padded)
+    assert (a == b).all()
+
+
+def test_video_features_corrupt_middle_frame_degrades():
+    # regression: a corrupt middle frame escaped the decode error
+    # boundary and killed the whole batch; now the pixel-feature tail
+    # degrades to zeros
+    import numpy as np
+
+    from simplir_spark.functions.avicodec import (
+        avi_encode_mjpeg,
+        try_decode_video,
+        video_features,
+    )
+    from simplir_spark.functions.jpegcodec import encode_jpeg
+
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = encode_jpeg(rgb)
+    bad = good[: len(good) // 2]
+    avi = avi_encode_mjpeg([good, bad, good], fps=5, width=4, height=4)
+    clip = try_decode_video(avi)
+    feats = video_features(clip, dim=8)
+    assert feats[:2] == [3.0, 5.0]
+    assert feats[2:] == [0.0] * 6
+    # out-of-range dimensions raise a clear error, not struct.error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out of range"):
+        avi_encode_mjpeg([good], fps=5, width=40000, height=4)
+
+
+def test_fake_decode_env_restored_after_contract_entry(spark):
+    # regression: the multimodal contract entry permanently set
+    # SIMPLIR_FAKE_DECODE=1, flipping later real-decode paths to fake
+    import os
+
+    import __spark_entry__ as entry
+
+    os.environ.pop("SIMPLIR_FAKE_DECODE", None)
+    df = entry.q_multimodal_features(spark, "/root/testdata/sf0.001")
+    assert df.limit(1).count() >= 0  # plan builds and runs
+    assert "SIMPLIR_FAKE_DECODE" not in os.environ
