@@ -851,3 +851,29 @@ def test_fake_decode_env_restored_after_contract_entry(spark):
     df = entry.q_multimodal_features(spark, "/root/testdata/sf0.001")
     assert df.limit(1).count() >= 0  # plan builds and runs
     assert "SIMPLIR_FAKE_DECODE" not in os.environ
+
+
+def test_try_decode_never_raises_on_arbitrary_bytes():
+    """Fuzz the whole decode dispatch: arbitrary byte blobs (including
+    ones that start with valid magics) must return None or a decoded
+    object, never raise — one hostile payload must not kill a batch."""
+    import numpy as np
+
+    from simplir_spark.functions.audiocodec import try_decode_audio
+    from simplir_spark.functions.avicodec import try_decode_video
+    from simplir_spark.functions.imagecodec import (
+        BMP_MAGIC,
+        PNG_MAGIC,
+        try_decode_image,
+    )
+
+    rng = np.random.RandomState(20260818)
+    magics = [b"", BMP_MAGIC, PNG_MAGIC, b"\xff\xd8\xff", b"RIFF", b"RIFFxxxxWAVE", b"RIFFxxxxAVI "]
+    for trial in range(200):
+        n = int(rng.randint(0, 512))
+        blob = rng.bytes(n)
+        prefix = magics[trial % len(magics)]
+        payload = prefix + blob
+        try_decode_image(payload)
+        try_decode_audio(payload)
+        try_decode_video(payload)
