@@ -98,8 +98,12 @@ def phrase_match_positional(
     if "pos" not in post.columns:
         raise ValueError("index was not built with_positions=True")
     if n_shards is None:
+        from simplir_spark.operators.query_indexed import _pick_n_shards
+
         par = spark.sparkContext.defaultParallelism
-        n_shards = max(1, (2 * par) // max(1, len(phrases)), -(-index.doc_count // (1 << 22)))
+        # same span floor as the scorers: runs span many dids, narrow
+        # shards duplicate every run (see query_indexed._MIN_SHARD_SPAN)
+        n_shards = _pick_n_shards(par, len(phrases), index.doc_count, "query_shard")
     span = max(1, -(-max(1, index.doc_count) // n_shards))
 
     rows = [(pid, t, j) for pid, p in phrases for j, t in enumerate(p)]

@@ -44,6 +44,29 @@ from simplir_spark.operators.query import merge_query_entries, queries_df
 # where per-shard decode dominates can force seed_threshold=True.
 _SEED_MIN_DOCS = 16_000_000
 
+# Minimum did-span per shard.  A posting run covers up to 2^14 postings
+# whose did range routinely spans tens of thousands of dids, so shards
+# narrower than that duplicate EVERY run into many shards (explode of the
+# [start_did, end_did] overlap): at 5k docs the old default of 2 x
+# parallelism shards gave span 79 and shipped/decoded each run up to 63
+# times.  Floor the span at 2^16 dids — r6 interleaved A/B at 5k docs
+# measured shard-grouped BM25 3.7x faster and query-shard BM25/QL 1.3-1.4x
+# (BENCH/shard_span.json); at >= 4M docs every term of the old formula is
+# unchanged, so cluster-scale sharding is unaffected.  Shard count never
+# affects results (per-shard top-k + global window rank is exact at any
+# sharding).
+_MIN_SHARD_SPAN = 1 << 16
+
+
+def _pick_n_shards(par: int, n_queries: int, doc_count: int, grouping: str) -> int:
+    """Default did-shard count: enough shards to use the cluster, never so
+    many that spans drop under ``_MIN_SHARD_SPAN`` (run-duplication wall),
+    always enough to keep spans dense-accumulator-sized (<= 2^22)."""
+    per_q = (2 * par) if grouping == "shard" else (2 * par) // max(1, n_queries)
+    hi = -(-max(1, doc_count) // _MIN_SHARD_SPAN)
+    lo = -(-doc_count // (1 << 22))
+    return max(1, min(max(1, per_q), hi), lo)
+
 
 def _bm25_contrib(tfs: np.ndarray, dls: np.ndarray, idf: float,
                   avg_doc_len: float, k1: float, b: float) -> np.ndarray:
@@ -430,11 +453,7 @@ def ql_dirichlet_indexed(
     doc_count, token_count = index.doc_count, index.token_count
     if n_shards is None:
         par = spark.sparkContext.defaultParallelism
-        n_shards = max(
-            1,
-            (2 * par) if grouping == "shard" else (2 * par) // max(1, len(queries)),
-            -(-doc_count // (1 << 22)),
-        )
+        n_shards = _pick_n_shards(par, len(queries), doc_count, grouping)
     span = max(1, -(-max(1, doc_count) // n_shards))
 
     q_terms = sorted({t for _, terms in queries for t in terms})
@@ -788,12 +807,7 @@ def bm25_indexed(
     doc_count, avg_doc_len = index.doc_count, index.avg_doc_len
     if n_shards is None:
         par = spark.sparkContext.defaultParallelism
-        n_shards = max(
-            1,
-            # shard groups are the only parallelism axis in "shard" mode
-            (2 * par) if grouping == "shard" else (2 * par) // max(1, len(queries)),
-            -(-doc_count // (1 << 22)),  # keep shard spans dense-accumulator-sized
-        )
+        n_shards = _pick_n_shards(par, len(queries), doc_count, grouping)
     span = max(1, -(-max(1, doc_count) // n_shards))  # ceil
 
     q_terms = sorted({t for _, terms in queries for t in terms})
