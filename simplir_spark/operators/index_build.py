@@ -1364,14 +1364,6 @@ def _build_index_fused(
     # in ANY stage (docmeta included) must not leak the 128MB override
     # into the shared session and degrade later small-file reads.
     try:
-        r_doc = runner.run_df_stage(
-            "docmeta",
-            # row_kind min/max prunes the pure row groups; the heavy blob
-            # columns are never read (column pruning)
-            lambda: chunks.filter(F.col("row_kind") == 0).select(*doc_cols),
-            upstream=["chunks"],
-            sort_within_partitions=["did"],
-        )
 
         def build_postings_from_chunks() -> DataFrame:
             runs = chunks.filter(F.col("row_kind") == 1).select(*_RUN_COLS)
@@ -1381,7 +1373,15 @@ def _build_index_fused(
             # is the RUN row count (chunks rows minus docmeta rows) — dividing
             # by total chunk rows would undershoot the target ~25 keys/cut by
             # the docmeta fraction and starve the postings stage of cuts.
-            n_runs = max((r_chunks.rows or 1) - (r_doc.rows or 0), 1)
+            # The doc-row count comes from the build's own corpus count (or
+            # one slim scan when the caller fixed n_partitions) so this
+            # stage does not serialize behind the docmeta rewrite.
+            n_doc_rows = (
+                n_docs_known
+                if n_docs_known is not None
+                else chunks.filter(F.col("row_kind") == 0).count()
+            )
+            n_runs = max((r_chunks.rows or 1) - n_doc_rows, 1)
             sample = [
                 (r["term"], int(r["start_did"]))
                 for r in runs.select("term", "start_did")
@@ -1400,30 +1400,58 @@ def _build_index_fused(
                 .drop("_b", "_xb")
             )
 
-        r_post = runner.run_df_stage(
-            "postings",
-            build_postings_from_chunks,
-            upstream=["chunks"],
-            sort_within_partitions=["term", "start_did"],
-        )
+        # The four remaining stages are all independent rewrites /
+        # aggregations of the chunks table (term_stats aggregates the SAME
+        # run rows the postings stage re-layouts, corpus_stats the same doc
+        # rows docmeta rewrites — values identical by construction), so run
+        # them CONCURRENTLY from driver threads: the tail tasks of each job
+        # back-fill executor cores freed by the others instead of paying
+        # four sequential stage walls (r6 interleaved A/B, 500k-doc build:
+        # non-chunks wall 2.2-3.8s -> 1.7-2.3s, BENCH/build_tail.json).
+        from concurrent.futures import ThreadPoolExecutor
+
+        tail_workers = int(os.environ.get("SIMPLIR_BUILD_TAIL_WORKERS", "4"))
+        with ThreadPoolExecutor(max_workers=max(1, tail_workers)) as pool:
+            f_doc = pool.submit(
+                runner.run_df_stage,
+                "docmeta",
+                # row_kind min/max prunes the pure row groups; the heavy blob
+                # columns are never read (column pruning)
+                lambda: chunks.filter(F.col("row_kind") == 0).select(*doc_cols),
+                upstream=["chunks"],
+                sort_within_partitions=["did"],
+            )
+            f_post = pool.submit(
+                runner.run_df_stage,
+                "postings",
+                build_postings_from_chunks,
+                upstream=["chunks"],
+                sort_within_partitions=["term", "start_did"],
+            )
+            f_ts = pool.submit(
+                runner.run_df_stage,
+                "term_stats",
+                lambda: chunks.filter(F.col("row_kind") == 1)
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf")),
+                upstream=["chunks"],
+            )
+            f_cs = pool.submit(
+                runner.run_json_stage,
+                "corpus_stats",
+                lambda: corpus_stats_agg(
+                    chunks.filter(F.col("row_kind") == 0).select(
+                        "doc_len", "doc_len_alnum"
+                    )
+                ).collect()[0].asDict(),
+                upstream=["chunks"],
+            )
+            f_doc.result()
+            f_post.result()
+            f_ts.result()
+            f_cs.result()
     finally:
         spark.conf.set(_OPEN_COST, _prev_open_cost)
-
-    runner.run_df_stage(
-        "term_stats",
-        lambda: spark.read.parquet(r_post.output)
-        .groupBy("term")
-        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf")),
-        upstream=["postings"],
-    )
-
-    runner.run_json_stage(
-        "corpus_stats",
-        lambda: corpus_stats_agg(
-            spark.read.parquet(r_doc.output)
-        ).collect()[0].asDict(),
-        upstream=["docmeta"],
-    )
     return paths
 
 
