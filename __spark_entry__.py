@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from simplir_spark.functions.tokenize import with_tokens
 from simplir_spark.operators.query import bm25_scan, topk_ranked
-from simplir_spark.operators.stats import corpus_stats, doc_term_tfs, term_stats
+from simplir_spark.operators.stats import (
+    corpus_stats,
+    doc_term_tfs,
+    doc_term_tfs_fused,
+    term_stats,
+)
 from simplir_spark.queryset import QUERIES
 
 K = 10
@@ -60,8 +65,8 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = with_tokens(_corpus(spark, sf_dir))
-    return term_stats(doc_term_tfs(tok))
+    # fused tokenizer+pair kernel: one Python boundary crossing (guide §4)
+    return term_stats(doc_term_tfs_fused(_corpus(spark, sf_dir)))
 
 
 def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,6 +149,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = with_tokens(_corpus(spark, sf_dir))
     return tok.withColumnRenamed("doc_key", "doc_id")
+
+
+def _pairs_docid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, doc_len, term, tf) pairs via the FUSED tokenizer+pair
+    kernel — identical rows to doc_term_tfs(_tokenized_docs(...)) but the
+    token lists cross the JVM<->Python boundary once, not twice."""
+    return doc_term_tfs_fused(
+        _corpus(spark, sf_dir).withColumnRenamed("doc_key", "doc_id"),
+        doc_cols=["doc_id"],
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,8 +305,7 @@ def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplir_spark.operators.evaluation import mean_average_precision
     from simplir_spark.operators.query import queries_df
 
-    tok = _tokenized_docs(spark, sf_dir)
-    pairs = doc_term_tfs(tok, doc_cols=["doc_id"])
+    pairs = _pairs_docid(spark, sf_dir)
     qdf = queries_df(spark, QUERIES)
     nq = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
     qrels = (
@@ -332,9 +346,7 @@ def q_rm1_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP).select(
         "query_id", "doc_key", "score"
     )
-    pairs = doc_term_tfs(_tokenized_docs(spark, sf_dir), doc_cols=["doc_id"]).withColumnRenamed(
-        "doc_id", "doc_key"
-    )
+    pairs = _pairs_docid(spark, sf_dir).withColumnRenamed("doc_id", "doc_key")
     return rm1_expansion_terms(run, pairs, n_terms=5, round_dp=DP)
 
 
@@ -500,8 +512,7 @@ def _run_and_qrels(spark: SparkSession, sf_dir: str):
     query term) — shared by the evaluation-metric queries."""
     from simplir_spark.operators.query import queries_df
 
-    tok = _tokenized_docs(spark, sf_dir)
-    pairs = doc_term_tfs(tok, doc_cols=["doc_id"])
+    pairs = _pairs_docid(spark, sf_dir)
     qdf = queries_df(spark, QUERIES)
     nq = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
     qrels = (
@@ -958,7 +969,7 @@ def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted sums are BIGINT (order-independent), and the single double
     division + floor-round is bit-identical on both engines.
     """
-    pairs = doc_term_tfs(_tokenized_docs(spark, sf_dir), doc_cols=["doc_id"])
+    pairs = _pairs_docid(spark, sf_dir)
     kcols = [
         F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit(f":{j}"))), 1, 15), 16, 10)
         .cast("long") % 1000

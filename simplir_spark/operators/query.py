@@ -32,8 +32,7 @@ from simplir_spark.functions.scoring import (
     tfidf_term_score,
 )
 from simplir_spark.cacheutil import CacheRegistry
-from simplir_spark.functions.tokenize import with_tokens
-from simplir_spark.operators.stats import doc_term_tfs, term_stats
+from simplir_spark.operators.stats import doc_term_tfs_fused, term_stats
 
 # Bounded eviction for the per-call pairs/stats caches: repeated scan
 # queries in one session previously leaked a cached dataset per call.
@@ -105,8 +104,12 @@ def bm25_scan(
     # background stats FROM them (token_count = Σtf; doc_count is a
     # column-pruned row count, no tokenize).  The reference makes two
     # passes (stats fold, then scoring fold); Spark doesn't need to.
-    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len")
-    pairs = doc_term_tfs(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
+    # Fused tokenizer+pair kernel: the token lists never cross the
+    # JVM<->Python boundary a second time (ArrowEvalPython + MapInPandas
+    # collapse to one MapInPandas — guide §4).
+    pairs = doc_term_tfs_fused(corpus.select("doc_key", "content")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     _scan_caches.register(pairs)
 
     doc_count = corpus.count()

@@ -78,6 +78,71 @@ def doc_term_tfs(tokenized: DataFrame, doc_cols: list[str] | None = None) -> Dat
     return in_df.mapInPandas(kernel, schema)
 
 
+def doc_term_tfs_fused(
+    corpus: DataFrame,
+    doc_cols: list[str] | None = None,
+    text_col: str = "content",
+) -> DataFrame:
+    """``doc_term_tfs(with_tokens(corpus))`` in ONE Python pass.
+
+    The separate form ships every document's token list across the
+    JVM<->Python boundary twice (out of the tokenizer pandas UDF, back in
+    for the pair kernel — two ArrowEvalPython/MapInPandas nodes in the
+    plan); here the tokenizer's integer core feeds the (doc, term, tf)
+    flattening inside the same kernel, so only the raw text crosses once
+    and the per-doc term lists never materialize as Arrow at all.
+
+    Output rows, ordering (term-sorted within doc — the float-summation
+    parity rule), types, and zero-term-doc behavior are identical to
+    ``doc_term_tfs`` by construction: both end in ``tf_codes_core``-
+    equivalent grouping of the same normalized token stream.  Plain
+    pipeline only (no stopword / token-length variants — those callers
+    keep the two-stage form).
+    """
+    from simplir_spark.functions.tokenize import (
+        _KILL_TABLE,
+        _factorize_flat,
+        tf_codes_core,
+    )
+
+    doc_cols = doc_cols or ["doc_key"]
+    in_df = corpus.select(*doc_cols, text_col)
+    fields = [in_df.schema[c] for c in doc_cols]
+    fields.append(T.StructField("doc_len", T.IntegerType(), False))
+    fields.append(T.StructField("term", T.StringType(), False))
+    fields.append(T.StructField("tf", T.LongType(), False))
+    schema = T.StructType(fields)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            texts = pdf[text_col].fillna("")
+            raw = texts.str.translate(_KILL_TABLE).str.split()
+            lens = np.fromiter((len(t) for t in raw), dtype=np.int64, count=n)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            all_toks = np.fromiter(chain.from_iterable(raw), dtype=object, count=total)
+            doc_ix = np.repeat(np.arange(n, dtype=np.int64), lens)
+            has_nul = bool(texts.str.contains("\x00", regex=False).any())
+            inv, uniq = _factorize_flat(all_toks, has_nul)
+            term_idx, nt_sorted, tf, n_distinct, doc_len, _ = tf_codes_core(
+                inv, uniq, doc_ix, n
+            )
+            if len(term_idx) == 0:
+                continue
+            d = np.repeat(np.arange(n, dtype=np.int64), n_distinct)
+            out = {c: pdf[c].to_numpy()[d] for c in doc_cols}
+            out["doc_len"] = doc_len[d]
+            out["term"] = nt_sorted[term_idx]
+            out["tf"] = tf
+            yield pd.DataFrame(out)
+
+    return in_df.mapInPandas(kernel, schema)
+
+
 def corpus_stats(tokenized: DataFrame) -> DataFrame:
     """(doc_count, token_count, token_count_alnum) — one row.
 

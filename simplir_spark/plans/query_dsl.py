@@ -71,7 +71,7 @@ from simplir_spark.functions.scoring import (
     tfidf_term_score,
 )
 from simplir_spark.functions.tokenize import with_tokens
-from simplir_spark.operators.stats import doc_term_tfs, term_stats
+from simplir_spark.operators.stats import doc_term_tfs, doc_term_tfs_fused, term_stats
 
 
 def resolve_params(node: Any, params: dict[str, Any]) -> Any:
@@ -133,15 +133,23 @@ def _matched_rows(corpus: DataFrame, all_units: list[str]):
     term_units = sorted(u for u in all_units if " " not in u)
     phrase_units = sorted(u for u in all_units if " " in u)
 
-    tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len")
     if phrase_units:
-        # the phrase kernel is a second linear pass over the token arrays
-        # — cache them rather than re-running the tokenizer.  Registered
-        # for bounded eviction: without it every compiled phrase-bearing
-        # query would leak a cached dataset for the session lifetime.
+        # the phrase kernel needs the ordered token arrays (a second
+        # linear pass) — cache them rather than re-running the tokenizer.
+        # Registered for bounded eviction: without it every compiled
+        # phrase-bearing query would leak a cached dataset for the
+        # session lifetime.
+        tokenized = with_tokens(corpus).select("doc_key", "terms", "doc_len")
         tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
         _dsl_caches.register(tokenized)
-    pairs = doc_term_tfs(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = doc_term_tfs(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        # term-only trees: fused tokenizer+pair kernel — the token lists
+        # never cross the JVM<->Python boundary a second time (guide §4)
+        tokenized = None
+        pairs = doc_term_tfs_fused(corpus.select("doc_key", "content")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     _dsl_caches.register(pairs)
     doc_count = corpus.count()
     tc = pairs.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tc")).collect()[0]["tc"]
