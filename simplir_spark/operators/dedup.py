@@ -52,17 +52,19 @@ def ngram_shingles(tokenized: DataFrame, n: int = 3, id_col: str = "doc_id") -> 
     Built from the normalized `terms` array entirely JVM-side
     (transform+sequence), no Python.
     """
-    # N.B. sequence(0, x) DESCENDS when x < 0 — guard short docs explicitly
+    # N.B. sequence(0, x) DESCENDS when x < 0 — guard short docs explicitly.
+    # Dedup happens INSIDE the per-doc array (array_distinct) before the
+    # explode: (id, shingle) duplicates can only arise within a doc, so
+    # this is exactly the old global .distinct() WITHOUT its full shuffle
+    # — one Exchange removed from every shingle consumer (minhash, LSH,
+    # exact-jaccard candidate gen).
     sh = F.expr(
         f"CASE WHEN size(terms) >= {n} THEN "
-        f"transform(sequence(0, size(terms) - {n}),"
-        f" i -> concat_ws(' ', slice(terms, i + 1, {n}))) "
+        f"array_distinct(transform(sequence(0, size(terms) - {n}),"
+        f" i -> concat_ws(' ', slice(terms, i + 1, {n})))) "
         f"ELSE array() END"
     )
-    return (
-        tokenized.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return tokenized.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
