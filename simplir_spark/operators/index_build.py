@@ -172,6 +172,17 @@ def sample_boundaries(
     if n == 0:
         return []
     budget = min(max(n_buckets * BOUNDARY_KEYS_PER_BUCKET, 10_000), BOUNDARY_BUDGET_CAP)
+    # A budget near n defeats the whole design: the sketch would collect
+    # (almost) every key and the driver would merge ~n candidates — the
+    # exact pathology the sketch exists to avoid.  Cap candidates at n/4
+    # (keeping ~8 per bucket when available): only binding when the bucket
+    # count is large RELATIVE to the corpus (e.g. 16k buckets at 500k
+    # keys, where it cut the sketch wall 3.1s -> ~0.6s, BENCH/
+    # boundary_budget.json); at real sketch scale (>= 8k buckets implies
+    # >= 0.5B docs at the default docs-per-bucket) n/4 is far above the
+    # 1M hard cap and nothing changes.  Cuts remain deterministic and any
+    # cut set is correct — only bucket balance depends on sample density.
+    budget = min(budget, max(10_000, 8 * n_buckets, n // 4))
     if budget <= BOUNDARY_DIRECT_MAX:
         # direct path: one JVM sample + a bounded collect — cheaper than
         # the sketch's shuffle below ~256k candidates (measured A/B in
