@@ -1356,7 +1356,21 @@ def _build_index_fused(
         )
 
     os.makedirs(out_dir, exist_ok=True)
-    r_chunks = runner.run_df_stage("chunks", build_chunks)
+    # Smaller Arrow batches for the heavy kernel stage: one 64k-row batch
+    # per bucket partition serializes transfer -> compute -> emit, while
+    # ~16k-row batches pipeline them (JVM encodes batch i+1 while Python
+    # tokenizes batch i) — interleaved A/B min 2.06s -> 1.44s on the
+    # 500k-doc chunks stage (BENCH/arrow_batch.json).  Scoped to this
+    # stage so other Arrow paths keep the session default.
+    _ARROW_BATCH = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    _prev_batch = spark.conf.get(_ARROW_BATCH)
+    spark.conf.set(
+        _ARROW_BATCH, os.environ.get("SIMPLIR_BUILD_ARROW_BATCH", "16384")
+    )
+    try:
+        r_chunks = runner.run_df_stage("chunks", build_chunks)
+    finally:
+        spark.conf.set(_ARROW_BATCH, _prev_batch)
     chunks = spark.read.parquet(r_chunks.output)
     doc_cols = [
         c for c in chunks.columns
