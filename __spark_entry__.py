@@ -673,21 +673,72 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kappa_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's and Fleiss' kappa (Agreement.hs) folded into one single-row
     contract entry (cross join of the two single-row results, columns
-    prefixed) so both stay oracle-checked in the driver window."""
-    c = q_cohen_kappa(spark, sf_dir).select(
+    prefixed) so both stay oracle-checked in the driver window.
+
+    One persisted per-doc base feeds BOTH kappas (the naive composition
+    re-ran the tokenizer four times: once for Cohen's assessor A and once
+    per Fleiss vote branch); labels/votes are the same expressions, so
+    the exact integer counts — and hence every output value — are
+    unchanged."""
+    from simplir_spark.operators.agreement import cohen_kappa, fleiss_kappa
+
+    base = (
+        _tokenized_docs(spark, sf_dir)
+        .select("doc_id", "doc_len")
+        .join(
+            _documents(spark, sf_dir).select(
+                "doc_id", F.length("text").alias("n_chars")
+            ),
+            "doc_id",
+        )
+        .persist()
+    )
+    a = base.select(
+        F.col("doc_id").alias("item"),
+        F.when(F.col("doc_len") % 2 == 0, "y").otherwise("n").alias("label"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("item"),
+        F.when(F.col("n_chars") % 2 == 0, "y").otherwise("n").alias("label"),
+    )
+    # the three Fleiss votes come out of ONE pass via explode instead of a
+    # 3-way union that re-evaluated the tokenizer per branch
+    votes = base.select(
+        F.col("doc_id").alias("item"),
+        F.explode(
+            F.array(
+                (F.col("doc_len") % 3).cast("string"),
+                (F.col("n_chars") % 3).cast("string"),
+                (F.col("doc_id") % 3).cast("string"),
+            )
+        ).alias("label"),
+    )
+    cr = cohen_kappa(a, b)
+    fr = fleiss_kappa(votes)
+    base.unpersist()
+    c = cr.select(
+        "n_items", F.round("po", DP).alias("po"), F.round("pe", DP).alias("pe"),
+        F.round("kappa", DP).alias("kappa"),
+    ).select(
         F.col("n_items").alias("cohen_n_items"),
         F.col("po").alias("cohen_po"),
         F.col("pe").alias("cohen_pe"),
         F.col("kappa").alias("cohen_kappa"),
     )
-    f = q_fleiss_kappa(spark, sf_dir).select(
+    f = fr.select(
+        "n_items", "n_raters", F.round("p_bar", DP).alias("p_bar"),
+        F.round("p_e", DP).alias("p_e"), F.round("kappa", DP).alias("kappa"),
+    ).select(
         F.col("n_items").alias("fleiss_n_items"),
         F.col("n_raters").alias("fleiss_n_raters"),
         F.col("p_bar").alias("fleiss_p_bar"),
         F.col("p_e").alias("fleiss_p_e"),
         F.col("kappa").alias("fleiss_kappa"),
     )
-    return c.crossJoin(f)
+    # broadcast hint is load-bearing: an unhinted crossJoin of two 1-row
+    # local DataFrames stalls ~10s flat in planning (measured r6); hinted
+    # it is ~0.1s
+    return c.crossJoin(F.broadcast(f))
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,17 +31,26 @@ def cohen_kappa(
     """
     a1 = a.groupBy(item_col).agg(F.min(label_col).alias("_la"))
     b1 = b.groupBy(item_col).agg(F.min(label_col).alias("_lb"))
-    j = a1.join(b1, item_col).cache()
-    n = j.count()
+    j = a1.join(b1, item_col)
+    # ONE job: the (label_a, label_b) contingency table is label-cardinality-
+    # sized; n / agree / marginals all derive from it driver-side with the
+    # same exact integer arithmetic (was: cache + 4 separate jobs)
+    cells = {
+        (r["_la"], r["_lb"]): int(r["c"])
+        for r in j.groupBy("_la", "_lb").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(cells.values())
     spark = a.sparkSession
     if n == 0:
         return spark.createDataFrame(
             [(0, 0.0, 0.0, 0.0)], "n_items long, po double, pe double, kappa double"
         )
-    agree = j.filter(F.col("_la") == F.col("_lb")).count()
-    ma = {r["_la"]: r["c"] for r in j.groupBy("_la").agg(F.count(F.lit(1)).alias("c")).collect()}
-    mb = {r["_lb"]: r["c"] for r in j.groupBy("_lb").agg(F.count(F.lit(1)).alias("c")).collect()}
-    j.unpersist()
+    agree = sum(c for (la, lb), c in cells.items() if la == lb)
+    ma: dict = {}
+    mb: dict = {}
+    for (la, lb), c in cells.items():
+        ma[la] = ma.get(la, 0) + c
+        mb[lb] = mb.get(lb, 0) + c
     # exact integer sums -> single divisions (deterministic doubles)
     cross = sum(ma[k] * mb.get(k, 0) for k in sorted(ma))
     po = agree / n
