@@ -151,6 +151,14 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.withColumnRenamed("doc_key", "doc_id")
 
 
+from simplir_spark.cacheutil import CacheRegistry
+from simplir_spark.operators.query import queries_df
+
+# bounded eviction for the shared eval-base caches (pairs/run/qrels):
+# metric queries reference these DataFrames several times per plan
+_eval_caches = CacheRegistry(retain=6)
+
+
 def _pairs_docid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, doc_len, term, tf) pairs via the FUSED tokenizer+pair
     kernel — identical rows to doc_term_tfs(_tokenized_docs(...)) but the
@@ -305,24 +313,7 @@ def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplir_spark.operators.evaluation import mean_average_precision
     from simplir_spark.operators.query import queries_df
 
-    pairs = _pairs_docid(spark, sf_dir)
-    qdf = queries_df(spark, QUERIES)
-    nq = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
-    qrels = (
-        pairs.join(F.broadcast(qdf), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-        .join(F.broadcast(nq), "query_id")
-        .filter(F.col("n_hit") == F.col("n_q"))
-        .select(
-            F.col("query_id").alias("qid"),
-            F.col("doc_id").cast("string").alias("doc"),
-            F.lit(1).alias("relevance"),
-        )
-    )
-    run = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP).select(
-        F.col("query_id").alias("qid"), F.col("doc_key").cast("string").alias("doc"), "rank"
-    )
+    run, qrels = _run_and_qrels(spark, sf_dir)
     m = mean_average_precision(run, qrels)
     return m.select(F.round("map", DP).alias("map"), "n_queries")
 
@@ -417,23 +408,28 @@ def q_query_dsl_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("doc_key", "doc_id")
 
 
-def q_ql_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ql_jm_topk(spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None) -> DataFrame:
     res = bm25_scan(
-        spark, _corpus(spark, sf_dir), QL_QUERIES, k=K, model="ql_jm", jm_alpha=0.5, round_dp=DP
+        spark, _corpus(spark, sf_dir), QL_QUERIES, k=K, model="ql_jm", jm_alpha=0.5,
+        round_dp=DP, pairs=pairs,
     )
     return _rename_key(res.select("query_id", "doc_key", "rank", "score"))
 
 
-def q_ql_laplace_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, model="ql_laplace", round_dp=DP)
+def q_ql_laplace_topk(spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None) -> DataFrame:
+    res = bm25_scan(
+        spark, _corpus(spark, sf_dir), QUERIES, k=K, model="ql_laplace", round_dp=DP,
+        pairs=pairs,
+    )
     return _rename_key(res.select("query_id", "doc_key", "rank", "score"))
 
 
-def q_ql_nosmoothing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ql_nosmoothing_topk(spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None) -> DataFrame:
     """QL NoSmoothing (QueryLikelihood.hs:44-47): only docs containing
     every query term score finite; -inf docs are filtered pre-rank."""
     res = bm25_scan(
-        spark, _corpus(spark, sf_dir), QUERIES, k=K, model="ql_nosmoothing", round_dp=DP
+        spark, _corpus(spark, sf_dir), QUERIES, k=K, model="ql_nosmoothing", round_dp=DP,
+        pairs=pairs,
     )
     return _rename_key(res.select("query_id", "doc_key", "rank", "score"))
 
@@ -443,10 +439,14 @@ def q_ql_smoothing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     NoSmoothing, QueryLikelihood.hs:33-47) folded into one contract entry
     with a `smoothing` discriminator column, so each variant keeps full
     driver oracle coverage inside the 50-entry check window."""
+    # one persisted pairs table feeds all three variants — the naive fold
+    # ran the tokenizer + background-stats jobs once per variant
+    pairs = doc_term_tfs_fused(_corpus(spark, sf_dir)).persist()
+    _eval_caches.register(pairs)
     parts = [
-        q_ql_jm_topk(spark, sf_dir).withColumn("smoothing", F.lit("jm")),
-        q_ql_laplace_topk(spark, sf_dir).withColumn("smoothing", F.lit("laplace")),
-        q_ql_nosmoothing_topk(spark, sf_dir).withColumn("smoothing", F.lit("nosmoothing")),
+        q_ql_jm_topk(spark, sf_dir, pairs=pairs).withColumn("smoothing", F.lit("jm")),
+        q_ql_laplace_topk(spark, sf_dir, pairs=pairs).withColumn("smoothing", F.lit("laplace")),
+        q_ql_nosmoothing_topk(spark, sf_dir, pairs=pairs).withColumn("smoothing", F.lit("nosmoothing")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -507,16 +507,23 @@ def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(r, "qid").join(n, "qid")
 
 
-def _run_and_qrels(spark: SparkSession, sf_dir: str):
-    """BM25 run + deterministic qrels (doc relevant iff it contains every
-    query term) — shared by the evaluation-metric queries."""
-    from simplir_spark.operators.query import queries_df
+def _eval_base(spark: SparkSession, sf_dir: str, with_run: bool = True):
+    """Shared PERSISTED eval inputs: (pairs, run, qrels).
 
-    pairs = _pairs_docid(spark, sf_dir)
+    pairs is the fused tokenizer output reused by every consumer (the
+    tokenizer runs once, not once per metric/model); run and qrels are
+    persisted because metric queries reference them several times inside
+    one plan (Catalyst does not dedupe common subtrees — unpersisted,
+    rank_metrics embedded the whole scan-scoring pipeline three times).
+    Values are unchanged: identical expressions, now cached.
+    """
+    pairs = doc_term_tfs_fused(_corpus(spark, sf_dir)).persist()
+    _eval_caches.register(pairs)
     qdf = queries_df(spark, QUERIES)
     nq = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
     qrels = (
-        pairs.join(F.broadcast(qdf), "term")
+        pairs.withColumnRenamed("doc_key", "doc_id")
+        .join(F.broadcast(qdf), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
         .join(F.broadcast(nq), "query_id")
@@ -526,10 +533,30 @@ def _run_and_qrels(spark: SparkSession, sf_dir: str):
             F.col("doc_id").cast("string").alias("doc"),
             F.lit(1).alias("relevance"),
         )
+        .persist()
     )
-    run = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP).select(
-        F.col("query_id").alias("qid"), F.col("doc_key").cast("string").alias("doc"), "rank"
-    )
+    _eval_caches.register(qrels)
+    run = None
+    if with_run:
+        run = (
+            bm25_scan(
+                spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP, pairs=pairs
+            )
+            .select(
+                F.col("query_id").alias("qid"),
+                F.col("doc_key").cast("string").alias("doc"),
+                "rank",
+            )
+            .persist()
+        )
+        _eval_caches.register(run)
+    return pairs, run, qrels
+
+
+def _run_and_qrels(spark: SparkSession, sf_dir: str):
+    """BM25 run + deterministic qrels (doc relevant iff it contains every
+    query term) — shared by the evaluation-metric queries."""
+    _, run, qrels = _eval_base(spark, sf_dir)
     return run, qrels
 
 
@@ -759,21 +786,38 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _l2r_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _l2r_features(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """(qid, doc, [bm25, tfidf, doc_len]) — the shared L2R feature table:
     outer join of the bm25 and tfidf top-k runs, doc_len attached, absent
     features 0-filled (toDocFeatures' over run files,
-    LearningToRankWrapper.hs:92-113)."""
-    bm25 = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP).select(
+    LearningToRankWrapper.hs:92-113).
+
+    ``pairs``: optional persisted fused-pairs table — both model runs and
+    the doc_len lookup derive from it, so the tokenizer runs once instead
+    of three times.  doc_len per doc is constant across a doc's pairs
+    rows, and every doc in either run has >= 1 matching term (hence a
+    pairs row), so the min-aggregate lookup is value-identical to the
+    full tokenized-corpus join it replaces."""
+    if pairs is None:
+        pairs = doc_term_tfs_fused(_corpus(spark, sf_dir)).persist()
+        _eval_caches.register(pairs)
+    bm25 = bm25_scan(
+        spark, _corpus(spark, sf_dir), QUERIES, k=K, round_dp=DP, pairs=pairs
+    ).select(
         F.col("query_id").alias("qid"), F.col("doc_key").cast("string").alias("doc"),
         F.col("score").alias("f_bm25"),
     )
-    tfidf = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, model="tfidf", round_dp=DP).select(
+    tfidf = bm25_scan(
+        spark, _corpus(spark, sf_dir), QUERIES, k=K, model="tfidf", round_dp=DP,
+        pairs=pairs,
+    ).select(
         F.col("query_id").alias("qid"), F.col("doc_key").cast("string").alias("doc"),
         F.col("score").alias("f_tfidf"),
     )
-    dl = _tokenized_docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc"), F.col("doc_len").cast("double").alias("f_dl")
+    dl = pairs.groupBy(F.col("doc_key").cast("string").alias("doc")).agg(
+        F.min("doc_len").cast("double").alias("f_dl")
     )
     return (
         bm25.join(tfidf, ["qid", "doc"], "outer")
@@ -790,8 +834,8 @@ def q_l2r_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_phrase_ltr_agreement.py."""
     from simplir_spark.operators.ltr import coordinate_ascent
 
-    run, qrels = _run_and_qrels(spark, sf_dir)
-    features = _l2r_features(spark, sf_dir)
+    pairs, _, qrels = _eval_base(spark, sf_dir, with_run=False)
+    features = _l2r_features(spark, sf_dir, pairs=pairs)
     w, m = coordinate_ascent(spark, features, qrels, n_features=3, n_iters=1)
     return spark.createDataFrame(
         [(i, round(float(x), DP), round(m, DP)) for i, x in enumerate(w)],
@@ -820,9 +864,10 @@ def q_l2r_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold semantics are behavior-tested in tests."""
     from simplir_spark.operators.ltr import k_fold_cross_validate
 
-    _, qrels = _run_and_qrels(spark, sf_dir)
+    pairs, _, qrels = _eval_base(spark, sf_dir, with_run=False)
     cv = k_fold_cross_validate(
-        spark, _l2r_features(spark, sf_dir), qrels, n_features=3, k=2, n_iters=1
+        spark, _l2r_features(spark, sf_dir, pairs=pairs), qrels, n_features=3, k=2,
+        n_iters=1,
     )
     return spark.createDataFrame(
         [
@@ -1062,8 +1107,14 @@ def q_merge_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     here merging the BM25 and TF-IDF runs of the same query set."""
     from simplir_spark.operators.evaluation import merge_rankings
 
+    pairs = doc_term_tfs_fused(_corpus(spark, sf_dir)).persist()
+    _eval_caches.register(pairs)
+
     def run_of(model: str) -> DataFrame:
-        res = bm25_scan(spark, _corpus(spark, sf_dir), QUERIES, k=K, model=model, round_dp=DP)
+        res = bm25_scan(
+            spark, _corpus(spark, sf_dir), QUERIES, k=K, model=model, round_dp=DP,
+            pairs=pairs,
+        )
         return res.select(
             F.col("query_id").alias("qid"),
             F.col("doc_key").cast("string").alias("doc"),

@@ -90,6 +90,7 @@ def bm25_scan(
     mu: float = 1000.0,
     jm_alpha: float = 0.5,
     round_dp: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Index-free scoring of all queries in one pass over the corpus.
 
@@ -97,6 +98,11 @@ def bm25_scan(
     ql_dirichlet}.  ``round_dp`` rounds scores BEFORE ranking so that
     near-ties (float summation-order noise) rank deterministically across
     engines — used by the DuckDB-oracle driver contract.
+
+    ``pairs``: optional precomputed (doc_key, doc_len, term, tf) table
+    (``doc_term_tfs_fused(corpus)`` shape, caller-persisted) — lets a
+    caller scoring the SAME corpus under several models pay the tokenizer
+    once instead of once per call.
     """
     queries = merge_query_entries(queries)
     # ONE tokenizer pass: persist the aggregated (doc, term, tf) pairs —
@@ -107,10 +113,11 @@ def bm25_scan(
     # Fused tokenizer+pair kernel: the token lists never cross the
     # JVM<->Python boundary a second time (ArrowEvalPython + MapInPandas
     # collapse to one MapInPandas — guide §4).
-    pairs = doc_term_tfs_fused(corpus.select("doc_key", "content")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    _scan_caches.register(pairs)
+    if pairs is None:
+        pairs = doc_term_tfs_fused(corpus.select("doc_key", "content")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _scan_caches.register(pairs)
 
     doc_count = corpus.count()
     tc_row = pairs.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tc")).collect()[0]
