@@ -774,11 +774,21 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract entry — all five operators stay individually exercised and
     oracle-checked; the join keys align because every sub-query covers
     the full documents table."""
+    from simplir_spark.functions.text import (
+        lang_id,
+        repetition_stats,
+        text_quality,
+    )
     from simplir_spark.operators.pii import pii_stats
 
-    tq = q_text_quality(spark, sf_dir)
-    rep = q_repetition_stats(spark, sf_dir).drop("n_tokens")
-    lid = q_lang_id(spark, sf_dir)
+    # ONE persisted tokenizer pass feeds the three token-based branches —
+    # composed from the standalone entries, the joined plan re-ran the
+    # tokenizer per branch (Catalyst does not dedupe common subtrees)
+    tok = _tokenized_docs(spark, sf_dir).persist()
+    _eval_caches.register(tok)
+    tq = text_quality(tok)
+    rep = repetition_stats(tok).drop("n_tokens")
+    lid = lang_id(tok)
     tc = q_token_counts(spark, sf_dir)
     pii = pii_stats(_documents(spark, sf_dir))
     return (
@@ -919,7 +929,10 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip_repeated_spans,
     )
 
-    tok = _tokenized_docs(spark, sf_dir)
+    # both modes and the span<->strip join reuse the token arrays — persist
+    # so the tokenizer runs once, not once per plan branch
+    tok = _tokenized_docs(spark, sf_dir).persist()
+    _eval_caches.register(tok)
     outs = []
     for mode in ("all", "first"):
         spans = repeated_spans(tok, n=SPAN_N, keep=mode)
