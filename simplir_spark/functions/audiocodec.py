@@ -133,11 +133,15 @@ def try_decode_audio(payload: bytes) -> AudioClip | None:
     b = bytes(payload)
     if not is_wav(b):
         return None
-    from simplir_spark.functions.imagecodec import DECODE_ERRORS
+    from simplir_spark.functions.imagecodec import (
+        DECODE_ERRORS,
+        note_suppressed_decode_error,
+    )
 
     try:
         return wav_decode(b)
-    except DECODE_ERRORS:
+    except DECODE_ERRORS as _e:
+        note_suppressed_decode_error(_e)
         return None
 
 

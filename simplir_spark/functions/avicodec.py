@@ -162,12 +162,16 @@ def avi_encode_mjpeg(
 def try_decode_video(payload: bytes) -> VideoClip | None:
     """Real decode when possible: MJPEG AVI natively; None otherwise."""
     b = bytes(payload)
-    from simplir_spark.functions.imagecodec import DECODE_ERRORS
+    from simplir_spark.functions.imagecodec import (
+        DECODE_ERRORS,
+        note_suppressed_decode_error,
+    )
 
     if is_avi(b):
         try:
             return avi_decode_mjpeg(b)
-        except DECODE_ERRORS:
+        except DECODE_ERRORS as _e:
+            note_suppressed_decode_error(_e)
             return None
     return None
 
@@ -179,16 +183,20 @@ def video_features(clip: VideoClip, dim: int = 8) -> list[float]:
     from simplir_spark.functions.imagecodec import image_features
     from simplir_spark.functions.jpegcodec import decode_jpeg
 
-    from simplir_spark.functions.imagecodec import DECODE_ERRORS
+    from simplir_spark.functions.imagecodec import (
+        DECODE_ERRORS,
+        note_suppressed_decode_error,
+    )
 
     base = [float(clip.n_frames), float(clip.fps)]
     if dim > len(base):
         try:
             mid = decode_jpeg(clip.frames[clip.n_frames // 2])
-        except DECODE_ERRORS:
+        except DECODE_ERRORS as _e:
             # container parsed but the middle frame is corrupt/unsupported:
             # degrade the pixel-derived tail to zeros instead of killing
             # the whole mapInPandas batch (the try_decode contract)
+            note_suppressed_decode_error(_e)
             base += [0.0] * (dim - len(base))
         else:
             base += image_features(mid, dim - len(base))

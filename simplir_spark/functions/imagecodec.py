@@ -37,6 +37,28 @@ DECODE_ERRORS = (
     zlib.error,
 )
 
+# Observability for the degrade-to-None contract (ADVICE r5): genuine
+# implementation bugs (KeyError/IndexError/OverflowError) must not vanish
+# silently into dropped media.  Suppressed exceptions are counted per
+# type (worker-local; read in tests / executor logs) and each NON-
+# ValueError type is logged once per worker so a systematic decoder bug
+# is visible without flooding stderr on a corrupt corpus.
+SUPPRESSED_DECODE_ERRORS: dict[str, int] = {}
+_LOGGED_TYPES: set[str] = set()
+
+
+def note_suppressed_decode_error(exc: BaseException) -> None:
+    name = type(exc).__name__
+    SUPPRESSED_DECODE_ERRORS[name] = SUPPRESSED_DECODE_ERRORS.get(name, 0) + 1
+    if not isinstance(exc, ValueError) and name not in _LOGGED_TYPES:
+        _LOGGED_TYPES.add(name)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "media decode suppressed %s: %s (further occurrences counted "
+            "in SUPPRESSED_DECODE_ERRORS, not logged)", name, exc
+        )
+
 BMP_MAGIC = b"BM"
 
 
@@ -262,19 +284,22 @@ def try_decode_image(payload: bytes) -> np.ndarray | None:
     if is_bmp(b):
         try:
             return bmp_decode(b)
-        except DECODE_ERRORS:
+        except DECODE_ERRORS as _e:
+            note_suppressed_decode_error(_e)
             return None
     if is_png(b):
         try:
             return png_decode(b)
-        except DECODE_ERRORS:
+        except DECODE_ERRORS as _e:
+            note_suppressed_decode_error(_e)
             return None
     from simplir_spark.functions.jpegcodec import decode_jpeg, is_jpeg
 
     if is_jpeg(b):
         try:
             return decode_jpeg(b)
-        except DECODE_ERRORS:
+        except DECODE_ERRORS as _e:
+            note_suppressed_decode_error(_e)
             return None
     try:  # optional dependency — absent in this container
         import io

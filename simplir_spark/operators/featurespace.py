@@ -92,7 +92,13 @@ class FeatureVec:
         )
 
     def __hash__(self) -> int:
-        return hash((self.space, self.values.tobytes()))
+        # canonicalize so vectors equal under __eq__ hash equally (ADVICE
+        # r5): cast to float64 (dtype-insensitive like np.array_equal),
+        # +0.0 folds -0.0 onto 0.0, and NaNs (equal under equal_nan=True
+        # whatever their payload bits) collapse to one canonical NaN
+        v = self.values.astype(np.float64, copy=True) + 0.0
+        v[np.isnan(v)] = np.nan
+        return hash((self.space, v.tobytes()))
 
     @staticmethod
     def from_list(space: FeatureSpace, pairs) -> "FeatureVec":

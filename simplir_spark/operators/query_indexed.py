@@ -660,17 +660,20 @@ def _resolve_doc_keys(spark: SparkSession, index: IndexHandle, topk: DataFrame) 
     meta = index.docmeta.select("did", "doc_key")
     if len(sample) <= _RESOLVE_ISIN_MAX:
         meta = meta.filter(F.col("did").isin(sorted(r["did"] for r in sample)))
+        joined = meta.join(F.broadcast(topk), "did")
     else:
         # did-range filter keeps parquet min/max row-group pruning on the
-        # did-contiguous partitions; the broadcast join removes the rest
+        # did-contiguous partitions
         bounds = topk.agg(F.min("did").alias("lo"), F.max("did").alias("hi")).first()
         meta = meta.filter(
             (F.col("did") >= bounds["lo"]) & (F.col("did") <= bounds["hi"])
         )
-    return (
-        meta.join(F.broadcast(topk), "did")
-        .select("query_id", "doc_key", "rank", "score")
-    )
+        # over the isin cap the top-k can be huge (10k queries x k=1000 =
+        # 10^7 rows) — a FORCED broadcast there risks driver/executor OOM
+        # (ADVICE r5): plain equi-join instead and let the planner pick;
+        # the range filter already bounded the docmeta side.
+        joined = meta.join(topk, "did")
+    return joined.select("query_id", "doc_key", "rank", "score")
 
 
 def _bm25_indexed_shard_grouped(

@@ -111,3 +111,32 @@ def test_feature_vec_eq_and_hash():
     nan1 = FeatureVec(sp, np.array([1.0, np.nan, 3.0]))
     nan2 = FeatureVec(sp, np.array([1.0, np.nan, 3.0]))
     assert nan1 == nan2  # elementwise with equal_nan, like a bitwise Eq
+    # hash/eq contract across value representations (ADVICE r5): equal
+    # vectors must hash equally whatever their bit patterns or dtypes
+    assert hash(nan1) == hash(nan2)
+    neg0 = FeatureVec(sp, np.array([0.0, -0.0, 1.0]))
+    pos0 = FeatureVec(sp, np.array([0.0, 0.0, 1.0]))
+    assert neg0 == pos0 and hash(neg0) == hash(pos0)
+    f32 = FeatureVec(sp, np.array([1.0, 2.0, 3.0], dtype=np.float32))
+    f64 = FeatureVec(sp, np.array([1.0, 2.0, 3.0], dtype=np.float64))
+    assert f32 == f64 and hash(f32) == hash(f64)
+    odd_nan = FeatureVec(
+        sp,
+        np.array(
+            [1.0, np.frombuffer(b"\x01\x00\x00\x00\x00\x00\xf8\x7f", dtype=np.float64)[0], 3.0]
+        ),
+    )
+    assert odd_nan == nan1 and hash(odd_nan) == hash(nan1)
+
+
+def test_suppressed_decode_errors_are_counted():
+    # ADVICE r5: the degrade-to-None decode contract must not hide
+    # systematic non-ValueError codec bugs — suppressions are counted
+    from simplir_spark.functions.imagecodec import (
+        SUPPRESSED_DECODE_ERRORS,
+        try_decode_image,
+    )
+
+    before = dict(SUPPRESSED_DECODE_ERRORS)
+    assert try_decode_image(b"BM" + b"\x00" * 80) is None  # short/invalid BMP
+    assert sum(SUPPRESSED_DECODE_ERRORS.values()) > sum(before.values())
