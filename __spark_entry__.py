@@ -209,7 +209,8 @@ def q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplir_spark.operators.dedup import simhash64
 
-    return simhash64(_tokenized_docs(spark, sf_dir))
+    # fused pairs: one Python pass (tokenize+tf) instead of two
+    return simhash64(None, pairs=_pairs_docid(spark, sf_dir))
 
 
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

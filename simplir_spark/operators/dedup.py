@@ -195,7 +195,12 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(tokenized: DataFrame, id_col: str = "doc_id", n_bits: int = 60) -> DataFrame:
+def simhash64(
+    tokenized: DataFrame,
+    id_col: str = "doc_id",
+    n_bits: int = 60,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
     """(id, simhash) — tf-weighted sign sum over md5 bits of each term.
 
     JVM-side: explode per-doc (term, tf) pairs, one row per (doc, term),
@@ -204,14 +209,21 @@ def simhash64(tokenized: DataFrame, id_col: str = "doc_id", n_bits: int = 60) ->
     map-side, so exactly one row per doc crosses the shuffle instead of
     the naive per-(doc, bit) explosion's n_bits rows per (doc, term).
     The bit sums fold back into one long.
+
+    ``pairs``: optional precomputed (id, term, tf) rows (e.g. the fused
+    tokenizer+pair kernel output) — skips the per-call term_tfs_udf
+    Python pass; the (term, tf) multiset per doc is identical either way.
     """
     from functools import reduce
 
-    from simplir_spark.functions.tokenize import term_tfs_udf
+    if pairs is None:
+        from simplir_spark.functions.tokenize import term_tfs_udf
 
-    pairs = tokenized.select(
-        F.col(id_col), F.explode(term_tfs_udf("terms")).alias("tt")
-    ).select(id_col, F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
+        pairs = tokenized.select(
+            F.col(id_col), F.explode(term_tfs_udf("terms")).alias("tt")
+        ).select(id_col, F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
+    else:
+        pairs = pairs.select(id_col, "term", "tf")
     pairs = pairs.withColumn("hv", _md5_60(F.col("term")))
     aggs = [
         F.sum(
