@@ -134,7 +134,10 @@ def _eval_coordinate_steps(
             rows.append((si, float(w[j] + s)))
     if not cands:
         return {}, {}
-    cand = spark.createDataFrame(rows, "cand_id int, wj double")
+    from simplir_spark.localdf import local_rows_df
+
+    # LocalRelation: the per-coordinate candidate grid broadcasts with no job
+    cand = local_rows_df(spark, rows, "cand_id int, wj double")
     w_arr = F.array([F.lit(float(x)) for x in w])
     fj = F.element_at("features", j + 1)
     base = features.select(

@@ -107,7 +107,9 @@ def phrase_match_positional(
     span = max(1, -(-max(1, index.doc_count) // n_shards))
 
     rows = [(pid, t, j) for pid, p in phrases for j, t in enumerate(p)]
-    pdf_phrases = spark.createDataFrame(rows, "phrase_id string, term string, term_ix int")
+    from simplir_spark.localdf import local_rows_df
+
+    pdf_phrases = local_rows_df(spark, rows, "phrase_id string, term string, term_ix int")
     matched = (
         post.join(F.broadcast(pdf_phrases), "term")
         .withColumn(

@@ -32,6 +32,7 @@ from simplir_spark.functions.scoring import (
     tfidf_term_score,
 )
 from simplir_spark.cacheutil import CacheRegistry
+from simplir_spark.localdf import local_rows_df
 from simplir_spark.operators.stats import doc_term_tfs_fused, term_stats
 
 # Bounded eviction for the per-call pairs/stats caches: repeated scan
@@ -62,7 +63,9 @@ def queries_df(spark: SparkSession, queries: list[tuple[str, list[str]]]) -> Dat
     twice — set semantics here is a correctness invariant, not tidiness.
     """
     rows = sorted({(qid, t) for qid, terms in queries for t in terms})
-    return spark.createDataFrame(rows, "query_id string, term string")
+    # LocalRelation: broadcasts of the query table fold driver-side with
+    # no Python job (localdf module docstring)
+    return local_rows_df(spark, rows, "query_id string, term string")
 
 
 def topk_ranked(scored: DataFrame, k: int, doc_col: str = "doc_key") -> DataFrame:
@@ -132,7 +135,7 @@ def bm25_scan(
         for qid, terms in queries
         for t in sorted(set(terms))
     ]
-    qdf_qtf = spark.createDataFrame(qtf_rows, "query_id string, term string, qtf long")
+    qdf_qtf = local_rows_df(spark, qtf_rows, "query_id string, term string, qtf long")
     # stats only for query terms — the analog of the reference's upfront
     # background-stats memoization (Search.hs:253-260); filtering pairs by
     # term first leaves cf/df values identical to the full aggregation.

@@ -113,3 +113,20 @@ def test_empty_and_absent_queries(spark, corpus_small):
     qids = {r.query_id for r in got}
     assert "Q08" not in qids  # absent term
     assert "Q09" not in qids  # sub-3-char term matches nothing
+
+
+def test_local_rows_df_roundtrip(spark):
+    # LocalRelation literal tables (localdf.py): exact value round-trip
+    # including quotes/newlines/unicode, typed columns, empty fallback
+    from simplir_spark.localdf import local_rows_df
+
+    rows = [("Q'1\\x", "a\nb", 2), ("Q2", "t'erm", 3), ("Qé", "x", 0)]
+    df = local_rows_df(spark, rows, "query_id string, term string, qtf long")
+    assert "LocalRelation" in df._jdf.queryExecution().optimizedPlan().toString()
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(rows)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "string", "bigint"
+    ]
+    empty = local_rows_df(spark, [], "a string, b int")
+    assert empty.count() == 0 and empty.columns == ["a", "b"]
