@@ -1329,8 +1329,8 @@ def _build_index_fused(
     out_dir = paths.root
 
     def build_chunks() -> DataFrame:
-        src = with_integrity(corpus)
-        slim = src.select("doc_key")
+        src = with_integrity(corpus)  # schema source for carry types
+        slim = corpus.select("doc_key")
         cuts = sample_boundaries(slim, "doc_key", n_partitions, n=n_docs_known)
         offsets = bucket_offsets(slim, "doc_key", cuts)
         with open(os.path.join(out_dir, "_bucket_cuts.json"), "w") as f:
@@ -1344,10 +1344,18 @@ def _build_index_fused(
         schema = fused_chunk_schema(carry, carry_types)
         from simplir_spark.functions.tokenize import jvm_clean_text_expr
 
+        # sha256 is computed AFTER the exchange: the integrity column is a
+        # pure function of content, so hashing post-shuffle is
+        # value-identical and the 64-char hex never crosses the wire
+        # (~20% of per-row shuffle metadata at the fixture's doc sizes —
+        # guide §2.3 shuffle fewer bytes)
         heavy = (
-            with_bucket_and_xb(src, "doc_key", cuts, xkeys)
+            with_bucket_and_xb(corpus, "doc_key", cuts, xkeys)
             .repartition(n_buckets, "_xb")
             .sortWithinPartitions("_bucket", "doc_key")
+        )
+        heavy = (
+            with_integrity(heavy)
             .withColumn("_clean", jvm_clean_text_expr("content"))
             .drop("content")
         )
@@ -1544,8 +1552,8 @@ def build_index(
         # dense-id assignment AND tokenization AND per-doc tf aggregation —
         # content crosses the wire exactly once and the token stream is
         # never materialized (each doc stores distinct terms + tfs).
-        src = with_integrity(corpus)
-        slim = src.select("doc_key")
+        src = with_integrity(corpus)  # schema source for carry types
+        slim = corpus.select("doc_key")
         cuts = sample_boundaries(slim, "doc_key", n_partitions, n=n_docs_known)
         offsets = bucket_offsets(slim, "doc_key", cuts)          # slim agg
         with open(os.path.join(out_dir, "_bucket_cuts.json"), "w") as f:
@@ -1569,7 +1577,7 @@ def build_index(
             + f", {tok_fields}, doc_len int, doc_len_alnum int"
         )
         heavy = (
-            with_bucket_and_xb(src, "doc_key", cuts, xkeys)
+            with_bucket_and_xb(corpus, "doc_key", cuts, xkeys)
             .repartition(n_buckets, "_xb")
             .sortWithinPartitions("_bucket", "doc_key")
         )
@@ -1578,10 +1586,14 @@ def build_index(
         # Arrow stream carry one cleaned UTF8String per doc — the split
         # token array's per-token offsets would add ~35% to the stream
         # (measured; see jvm_clean_text_expr) and ~2x to the shuffle.
+        # sha256 likewise computes post-exchange (pure function of
+        # content; the 64-char hex never crosses the wire).
         from simplir_spark.functions.tokenize import jvm_clean_text_expr
 
-        heavy = heavy.withColumn("_clean", jvm_clean_text_expr("content")).drop(
-            "content"
+        heavy = (
+            with_integrity(heavy)
+            .withColumn("_clean", jvm_clean_text_expr("content"))
+            .drop("content")
         )
         return heavy.mapInArrow(
             make_tokenize_assign_kernel_arrow(offsets, carry, with_positions), schema
